@@ -1,0 +1,254 @@
+package graft.osmpbf
+
+import graft.fixtures.OsmWorld
+import graft.osmpbf.codec._
+import graft.osmpbf.model._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.GenSupport
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class CodecSpec extends AnyFunSuite with GenSupport {
+
+  private def tmpFile(suffix: String): String = {
+    val f = Files.createTempFile("codecspec", suffix)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  test("varint round trip (property)") {
+    forAllG(Gen.chooseNum(0L, Long.MaxValue)) { v =>
+      val w = new ProtoWriter
+      w.writeRawVarint(v)
+      val b = w.toBytes
+      val r = new ProtoReader(b, 0, b.length)
+      assert(r.readVarint() === v)
+      assert(!r.hasNext)
+    }
+  }
+
+  test("zigzag round trip incl. extremes") {
+    forAllG(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
+      assert(Proto.zigzagDecode(Proto.zigzagEncode(v)) === v)
+    }
+    for (v <- Seq(0L, -1L, 1L, Long.MinValue, Long.MaxValue))
+      assert(Proto.zigzagDecode(Proto.zigzagEncode(v)) === v)
+  }
+
+  test("delta encode ∘ prefix-sum decode = identity (property)") {
+    forAllG(Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))) { vs =>
+      val w = new ProtoWriter
+      w.packedDeltaSints(1, vs)
+      val bytes = w.toBytes
+      val out = new LongBuf()
+      val r = new ProtoReader(bytes, 0, bytes.length)
+      var t = r.readTag()
+      while (t != 0) { r.readPackedSints(t & 7, out); t = r.readTag() }
+      assert(out.prefixSum().toArray.toList === vs)
+    }
+  }
+
+  /** The reference's own framed fixture (mmap_blob.rs:494-516): one frame of
+    * u32_be(100) ++ 100 zero bytes → blob_count==1, file_size==104, and the
+    * blob carries 100 bytes. Our scanner indexes it as an Unknown blob. */
+  test("reference zeros fixture: 1 unknown blob, file size 104") {
+    val path = tmpFile(".pbf")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(path))
+    out.writeInt(100)
+    out.write(new Array[Byte](100))
+    out.close()
+    val res = FrameScanner.scan(path)
+    assert(res.fileSize === 104)
+    assert(res.blobs.size === 1)
+    assert(res.blobs.head.blobType === "Unknown")
+    assert(res.blobs.head.dataSize === 100)
+    val dec = PbfFile.read(path)
+    assert(dec.nodes.isEmpty && dec.errorCount === 0)
+  }
+
+  test("trailing garbage after last frame is tolerated (indexed_reader.rs:167-171)") {
+    val path = tmpFile(".pbf")
+    val world = OsmWorld.generate(seed = 7, nClusters = 1, nodesPerCluster = 30)
+    OsmWorld.writePbf(path, world)
+    val fos = new java.io.FileOutputStream(path, true)
+    fos.write(Array[Byte](0, 0, 1)) // 3 stray bytes: not even a full length prefix
+    fos.close()
+    val dec = PbfFile.read(path)
+    assert(dec.nodes.size === world.nodes.size)
+  }
+
+  test("full world round trip: byte-exact counts, tags, coordinates, info") {
+    val path = tmpFile(".pbf")
+    val world = OsmWorld.generate(seed = 42, nClusters = 3, nodesPerCluster = 80)
+    OsmWorld.writePbf(path, world, elementsPerBlock = 500)
+    val dec = PbfFile.read(path)
+
+    assert(dec.nodes.size === world.nodes.size)
+    assert(dec.ways.size === world.ways.size)
+    assert(dec.relations.size === world.relations.size)
+
+    val gotNodes = dec.nodes.map(n => n.id -> n).toMap
+    world.nodes.foreach { exp =>
+      val got = gotNodes(exp.id)
+      assert(got.lat_nd === exp.lat_nd, s"node ${exp.id} lat_nd")
+      assert(got.lon_nd === exp.lon_nd, s"node ${exp.id} lon_nd")
+      assert(got.lat === exp.lat_nd * 1e-9)
+      assert(got.tags === exp.tags, s"node ${exp.id} tags")
+      assert(got.info.map(_.ts) === exp.info.map(_.ts))
+      assert(got.info.map(_.user) === exp.info.map(_.user))
+      assert(got.info.map(_.version) === exp.info.map(_.version))
+    }
+    val gotWays = dec.ways.map(w => w.id -> w).toMap
+    world.ways.foreach { exp =>
+      val got = gotWays(exp.id)
+      assert(got.refs === exp.refs, s"way ${exp.id} refs")
+      assert(got.tags === exp.tags)
+    }
+    val gotRels = dec.relations.map(r => r.id -> r).toMap
+    world.relations.foreach { exp =>
+      val got = gotRels(exp.id)
+      assert(got.members === exp.members)
+      assert(got.tags === exp.tags)
+    }
+    // header metadata survives
+    val h = dec.header.get
+    assert(h.required_features === Seq("OsmSchema-V0.6", "DenseNodes"))
+    assert(h.replication_sequence === Some(4242L))
+    assert(h.bbox.isDefined)
+  }
+
+  test("granularity/offset variants decode identically (block.rs:149-159)") {
+    val world = OsmWorld.generate(seed = 11, nClusters = 2, nodesPerCluster = 40)
+    val variants = Seq(
+      (100L, 0L, 0L), (100L, 500000000L, 500000000L), (1000L, 0L, 0L))
+    val decoded = variants.map { case (g, la, lo) =>
+      // snap world coords onto the coarser grid relative to offsets
+      val snapped = world.copy(nodes = world.nodes.map { n =>
+        val latNd = la + ((n.lat_nd - la) / g) * g
+        val lonNd = lo + ((n.lon_nd - lo) / g) * g
+        n.copy(lat_nd = latNd, lon_nd = lonNd, lat = latNd * 1e-9, lon = lonNd * 1e-9)
+      })
+      val path = tmpFile(".pbf")
+      OsmWorld.writePbf(path, snapped, granularity = g, latOffset = la, lonOffset = lo)
+      (snapped, PbfFile.read(path))
+    }
+    decoded.foreach { case (exp, got) =>
+      assert(got.nodes.sortBy(_.id).map(n => (n.id, n.lat_nd, n.lon_nd)) ===
+        exp.nodes.sortBy(_.id).map(n => (n.id, n.lat_nd, n.lon_nd)))
+    }
+  }
+
+  test("sparse vs dense node encoding decode to identical elements") {
+    val world = OsmWorld.generate(seed = 5, nClusters = 2, nodesPerCluster = 50)
+    val p1 = tmpFile(".pbf"); val p2 = tmpFile(".pbf")
+    OsmWorld.writePbf(p1, world, dense = true)
+    OsmWorld.writePbf(p2, world, dense = false)
+    val d1 = PbfFile.read(p1); val d2 = PbfFile.read(p2)
+    // group splitting may reorder within a block; compare by id
+    assert(d1.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)) === d2.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)))
+  }
+
+  test("uncompressed (raw) blobs decode identically to zlib blobs") {
+    val world = OsmWorld.generate(seed = 5, nClusters = 1, nodesPerCluster = 50)
+    val p1 = tmpFile(".pbf"); val p2 = tmpFile(".pbf")
+    OsmWorld.writePbf(p1, world, compress = true)
+    OsmWorld.writePbf(p2, world, compress = false)
+    assert(PbfFile.read(p1).nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)) ===
+      PbfFile.read(p2).nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)))
+  }
+
+  test("coordinate bounds ±90/±180 survive round trip (nano_degree.rs:8-15)") {
+    val path = tmpFile(".pbf")
+    val mk = (id: Long, latNd: Long, lonNd: Long) =>
+      OsmNode(id, latNd, lonNd, latNd * 1e-9, lonNd * 1e-9, Map("k" -> "v"), None, 0L)
+    val extremes = Vector(
+      mk(1, 90000000000L, 180000000000L),
+      mk(2, -90000000000L, -180000000000L),
+      mk(3, 0L, 0L))
+    val w = new PbfWriter(path)
+    extremes.foreach(w.addNode)
+    w.close()
+    val dec = PbfFile.read(path)
+    assert(dec.nodes.map(n => (n.id, n.lat_nd, n.lon_nd)) ===
+      extremes.map(n => (n.id, n.lat_nd, n.lon_nd)))
+    assert(dec.nodes.find(_.id == 1).get.lat === 90.0)
+    assert(dec.nodes.find(_.id == 2).get.lon === -180.0)
+  }
+
+  test("unicode + empty-string tags survive (string_table.rs edge cases)") {
+    val path = tmpFile(".pbf")
+    val tags = Map("name:ja" -> "東京", "emoji" -> "🗺️", "empty" -> "", "ascii" -> "x")
+    val node = OsmNode(9L, 100L, 200L, 1e-7, 2e-7, tags, None, 0L)
+    val w = new PbfWriter(path)
+    w.addNode(node)
+    w.close()
+    val dec = PbfFile.read(path)
+    assert(dec.nodes.head.tags === tags)
+  }
+
+  test("kind pushdown decodes only requested groups (F1 semantics)") {
+    val path = tmpFile(".pbf")
+    val world = OsmWorld.generate(seed = 13, nClusters = 2, nodesPerCluster = 40)
+    OsmWorld.writePbf(path, world)
+    val waysOnly = PbfFile.read(path, kinds = PbfCodec.KindWay)
+    assert(waysOnly.nodes.isEmpty)
+    assert(waysOnly.ways.size === world.ways.size)
+    assert(waysOnly.relations.isEmpty)
+  }
+
+  test("corrupt data blob is skipped and counted, not fatal (reader.rs:113-119)") {
+    val path = tmpFile(".pbf")
+    val world = OsmWorld.generate(seed = 3, nClusters = 1, nodesPerCluster = 30)
+    OsmWorld.writePbf(path, world, elementsPerBlock = 20)
+    // corrupt one data blob's payload bytes in place
+    val scan = FrameScanner.scan(path)
+    val dataBlob = scan.blobs.find(_.blobType == "OSMData").get
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    raf.seek(dataBlob.dataOffset + dataBlob.dataSize / 2)
+    raf.write(Array.fill[Byte](8)(0x55))
+    raf.close()
+    val dec = PbfFile.read(path)
+    assert(dec.errorCount === 1)
+    assert(dec.nodes.size < world.nodes.size)
+    assert(dec.nodes.nonEmpty)
+  }
+
+  test("writer embeds per-blob stats; scanner recovers them (fixes ref F5 bug)") {
+    val path = tmpFile(".pbf")
+    val world = OsmWorld.generate(seed = 21, nClusters = 2, nodesPerCluster = 40)
+    OsmWorld.writePbf(path, world, elementsPerBlock = 100)
+    val scan = FrameScanner.scan(path)
+    val data = scan.blobs.filter(_.blobType == "OSMData")
+    assert(data.nonEmpty)
+    assert(data.forall(_.nodeCount >= 0))
+    assert(data.map(b => b.nodeCount + b.wayCount + b.relationCount).sum ===
+      world.nodes.size + world.ways.size + world.relations.size)
+    // id range populated and sane
+    assert(data.forall(b => b.minId != Long.MinValue && b.maxId >= b.minId))
+  }
+
+  test("oversize uncompressed message is rejected (blob.rs:5-9 32MiB cap)") {
+    intercept[PbfParseException] {
+      PbfCodec.inflate(Array[Byte](1, 2, 3), 0, 3, PbfCodec.MaxMessageSize + 1)
+    }
+  }
+
+  test("timestamp date_granularity scaling (block.rs:22-24)") {
+    val path = tmpFile(".pbf")
+    val ts = new Timestamp(1500000123000L) // multiple of 1000 ms
+    val n = OsmNode(1L, 0L, 0L, 0, 0, Map.empty,
+      Some(OsmInfo(2, ts, 55L, 9, "alice", visible = true)), 0L)
+    val w = new PbfWriter(path)
+    w.addNode(n)
+    w.close()
+    val dec = PbfFile.read(path)
+    val info = dec.nodes.head.info.get
+    assert(info.ts === ts)
+    assert(info.changeset === 55L)
+    assert(info.user === "alice")
+    assert(info.visible)
+  }
+}
