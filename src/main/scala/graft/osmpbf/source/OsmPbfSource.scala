@@ -1,0 +1,372 @@
+package graft.osmpbf.source
+
+import graft.osmpbf.codec.{FrameScanner, PbfCodec}
+import graft.osmpbf.model.BlobPointer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 for .osm.pbf files: `spark.read.format("osmpbf").load(path)`.
+  *
+  * Split planning is the Spark re-grounding of the reference's
+  * `IndexedReader::build_index` + filtered stream (indexed_reader.rs:138-176,
+  * :328-339): the driver scans only frame lengths (seeking over payloads),
+  * then packs blob pointers into ~`targetSplitBytes` input partitions;
+  * executors pread and decode their blobs independently (delta chains never
+  * cross a blob boundary — dense_nodes.rs semantics — so decode is
+  * embarrassingly parallel, SURVEY.md §1.2).
+  *
+  * Pushdown:
+  *   - `kind = ...` equality filters prune whole blobs via the
+  *     writer-embedded per-blob element counts (the reference's intended F5
+  *     pushdown, with the counts actually populated) and skip decode of
+  *     unneeded PrimitiveGroups inside surviving blobs.
+  *   - `id` range filters prune blobs via per-blob (minId,maxId) zone maps —
+  *     the analog of `find_blobs_for_id_range` (indexed_reader.rs:282-300).
+  *   - column pruning reaches the decoder: tags / info / geometry columns
+  *     are only materialized (string-table resolution, info parse) when the
+  *     query actually reads them.
+  *
+  * Options: `kind` (all|nodes|ways|relations|changesets),
+  * `targetSplitBytes` (default 33554432).
+  */
+class OsmPbfSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osmpbf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = OsmPbfSource.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OsmPbfTable(new CaseInsensitiveStringMap(properties))
+}
+
+object OsmPbfSource {
+  val memberType: StructType = StructType(Seq(
+    StructField("memid", LongType, nullable = false),
+    StructField("role", StringType),
+    StructField("mtype", StringType)))
+
+  val infoType: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("ts", TimestampType),
+    StructField("changeset", LongType, nullable = false),
+    StructField("uid", IntegerType, nullable = false),
+    StructField("user", StringType),
+    StructField("visible", BooleanType, nullable = false)))
+
+  /** FIXTURES.md §B logical schema, unified with a `kind` discriminator. */
+  val fullSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("lat_nd", LongType),
+    StructField("lon_nd", LongType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("refs", ArrayType(LongType, containsNull = false)),
+    StructField("members", ArrayType(memberType, containsNull = false)),
+    StructField("info", infoType),
+    StructField("blob_offset", LongType, nullable = false)))
+
+  def kindsMaskOf(kind: String): Int = kind.toLowerCase match {
+    case "all" => PbfCodec.KindAll
+    case "nodes" | "node" => PbfCodec.KindNode
+    case "ways" | "way" => PbfCodec.KindWay
+    case "relations" | "relation" => PbfCodec.KindRelation
+    case "changesets" | "changeset" => PbfCodec.KindChangeSet
+    case other => throw new IllegalArgumentException(s"unknown kind option: $other")
+  }
+
+  /** Expand a path option into concrete .pbf file paths (dir → children). */
+  def resolvePaths(pathOpt: String, conf: Configuration): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(pathOpt)
+    val fs = p.getFileSystem(conf)
+    val stat = fs.globStatus(p)
+    if (stat == null || stat.isEmpty) throw new java.io.FileNotFoundException(pathOpt)
+    stat.toSeq.flatMap { s =>
+      if (s.isDirectory)
+        fs.listStatus(s.getPath).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".pbf")).map(_.getPath.toString)
+      else Seq(s.getPath.toString)
+    }
+  }
+}
+
+class OsmPbfTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"osmpbf:${options.get("path")}"
+  override def schema(): StructType = OsmPbfSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] = Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(opts)
+    new OsmPbfScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+class OsmPbfScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = OsmPbfSource.fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var kindsMask: Int = OsmPbfSource.kindsMaskOf(Option(options.get("kind")).getOrElse("all"))
+  private var idMin: Long = Long.MinValue
+  private var idMax: Long = Long.MaxValue
+
+  override def pruneColumns(schema: StructType): Unit = requiredSchema = schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = mutable.ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ EqualTo("kind", v: String) =>
+        kindsMask &= OsmPbfSource.kindsMaskOf(v + "s")
+        accepted += f
+      case f @ In("kind", vs) =>
+        kindsMask &= vs.collect { case s: String => OsmPbfSource.kindsMaskOf(s + "s") }
+          .foldLeft(0)(_ | _)
+        accepted += f
+      case f @ GreaterThan("id", v: Long) => idMin = math.max(idMin, v + 1); accepted += f
+      case f @ GreaterThanOrEqual("id", v: Long) => idMin = math.max(idMin, v); accepted += f
+      case f @ LessThan("id", v: Long) => idMax = math.min(idMax, v - 1); accepted += f
+      case f @ LessThanOrEqual("id", v: Long) => idMax = math.min(idMax, v); accepted += f
+      case _ => ()
+    }
+    pushed = accepted.toArray
+    // all accepted filters are also re-evaluated by Spark (we only use them
+    // to prune blobs / decode work, not as exact row filters for id ranges)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new OsmPbfScan(options, requiredSchema, kindsMask, idMin, idMax)
+}
+
+class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
+    kindsMask: Int, idMin: Long, idMax: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"osmpbf kinds=$kindsMask idRange=[$idMin,$idMax] cols=${requiredSchema.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val paths = OsmPbfSource.resolvePaths(options.get("path"), conf)
+    val target = Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val ptrs = paths.flatMap { p =>
+      FrameScanner.scan(p, conf).blobs.filter(keepBlob)
+    }
+    // pack pointers into ~target-byte splits, preserving file order
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    val cur = mutable.ArrayBuffer.empty[BlobPointer]
+    var curBytes = 0L
+    ptrs.foreach { ptr =>
+      if (curBytes + ptr.dataSize > target && cur.nonEmpty) {
+        parts += OsmPbfPartition(cur.toArray)
+        cur.clear(); curBytes = 0L
+      }
+      cur += ptr; curBytes += ptr.dataSize
+    }
+    if (cur.nonEmpty) parts += OsmPbfPartition(cur.toArray)
+    parts.toArray
+  }
+
+  /** Blob-level pushdown: kind counts + id zone maps (reference F5 fixed). */
+  private def keepBlob(ptr: BlobPointer): Boolean = {
+    if (ptr.blobType != "OSMData") return false
+    val countsKnown = ptr.nodeCount >= 0
+    if (countsKnown) {
+      var relevant = 0L
+      if ((kindsMask & PbfCodec.KindNode) != 0) relevant += ptr.nodeCount
+      if ((kindsMask & PbfCodec.KindWay) != 0) relevant += ptr.wayCount
+      if ((kindsMask & PbfCodec.KindRelation) != 0) relevant += ptr.relationCount
+      if ((kindsMask & PbfCodec.KindChangeSet) != 0) relevant += ptr.changesetCount
+      if (relevant == 0) return false
+    }
+    // id zone map: unknown ranges conservatively included
+    // (indexed_reader.rs:282-300 overlap semantics)
+    if (idMin != Long.MinValue || idMax != Long.MaxValue) {
+      if (ptr.minId != Long.MinValue || ptr.maxId != Long.MaxValue) {
+        if (ptr.maxId < idMin || ptr.minId > idMax) return false
+      }
+    }
+    true
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfReaderFactory(requiredSchema, kindsMask)
+}
+
+case class OsmPbfPartition(blobs: Array[BlobPointer]) extends InputPartition
+
+class OsmPbfReaderFactory(requiredSchema: StructType, kindsMask: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfPartition], requiredSchema, kindsMask)
+}
+
+/** Decodes a run of blobs into InternalRows. One blob is decoded at a time
+  * (≤32 MiB uncompressed by spec), bounding memory; bad blobs are skipped
+  * and surfaced via the `graft.osmpbf.decodeErrors` task metric rather than
+  * failing the task (reference reader.rs:113-119 fault tolerance).
+  */
+class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructType,
+    kindsMask: Int) extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val fieldNames = requiredSchema.fieldNames
+  private def fieldIndex(name: String): Option[Int] = {
+    val i = fieldNames.indexOf(name)
+    if (i < 0) None else Some(i)
+  }
+  private val wantTags = fieldNames.contains("tags")
+  private val wantInfo = fieldNames.contains("info")
+  // column positions in the required schema (-1 = absent)
+  private val posKind = fieldIndex("kind").getOrElse(-1)
+  private val posId = fieldIndex("id").getOrElse(-1)
+  private val posLatNd = fieldIndex("lat_nd").getOrElse(-1)
+  private val posLonNd = fieldIndex("lon_nd").getOrElse(-1)
+  private val posLat = fieldIndex("lat").getOrElse(-1)
+  private val posLon = fieldIndex("lon").getOrElse(-1)
+  private val posTags = fieldIndex("tags").getOrElse(-1)
+  private val posRefs = fieldIndex("refs").getOrElse(-1)
+  private val posMembers = fieldIndex("members").getOrElse(-1)
+  private val posInfo = fieldIndex("info").getOrElse(-1)
+  private val posBlobOffset = fieldIndex("blob_offset").getOrElse(-1)
+  private val nFields = requiredSchema.length
+
+  private val kindNode = UTF8String.fromString("node")
+  private val kindWay = UTF8String.fromString("way")
+  private val kindRelation = UTF8String.fromString("relation")
+  private val kindChangeset = UTF8String.fromString("changeset")
+
+  private var blobIdx = 0
+  private var rows: mutable.ArrayBuffer[InternalRow] = mutable.ArrayBuffer.empty
+  private var rowIdx = 0
+  private var current: InternalRow = _
+  var decodeErrors = 0L
+
+  private final class RowHandler(blobOffset: Long) extends PbfCodec.ElementHandler {
+    private def baseRow(kind: UTF8String, id: Long): GenericInternalRow = {
+      val r = new GenericInternalRow(nFields)
+      if (posKind >= 0) r.update(posKind, kind)
+      if (posId >= 0) r.setLong(posId, id)
+      if (posBlobOffset >= 0) r.setLong(posBlobOffset, blobOffset)
+      r
+    }
+
+    private def tagsData(tagK: Array[String], tagV: Array[String]): ArrayBasedMapData = {
+      val k = new Array[Any](tagK.length)
+      val v = new Array[Any](tagK.length)
+      var i = 0
+      while (i < tagK.length) {
+        k(i) = UTF8String.fromString(tagK(i)); v(i) = UTF8String.fromString(tagV(i)); i += 1
+      }
+      new ArrayBasedMapData(new GenericArrayData(k), new GenericArrayData(v))
+    }
+
+    private def infoRow(info: PbfCodec.InfoData): InternalRow = {
+      if (info == null) null
+      else {
+        val r = new GenericInternalRow(6)
+        r.setInt(0, info.version)
+        r.setLong(1, info.tsMillis * 1000L) // TimestampType = micros
+        r.setLong(2, info.changeset)
+        r.setInt(3, info.uid)
+        r.update(4, UTF8String.fromString(info.user))
+        r.setBoolean(5, info.visible)
+        r
+      }
+    }
+
+    override def onNode(id: Long, latNd: Long, lonNd: Long, lat: Double, lon: Double,
+        tagK: Array[String], tagV: Array[String], info: PbfCodec.InfoData): Unit = {
+      val r = baseRow(kindNode, id)
+      if (posLatNd >= 0) r.setLong(posLatNd, latNd)
+      if (posLonNd >= 0) r.setLong(posLonNd, lonNd)
+      if (posLat >= 0) r.setDouble(posLat, lat)
+      if (posLon >= 0) r.setDouble(posLon, lon)
+      if (posTags >= 0) r.update(posTags, tagsData(tagK, tagV))
+      if (posInfo >= 0) r.update(posInfo, infoRow(info))
+      rows += r
+    }
+
+    override def onWay(id: Long, refs: Array[Long],
+        tagK: Array[String], tagV: Array[String], info: PbfCodec.InfoData): Unit = {
+      val r = baseRow(kindWay, id)
+      if (posRefs >= 0) r.update(posRefs, new GenericArrayData(refs))
+      if (posTags >= 0) r.update(posTags, tagsData(tagK, tagV))
+      if (posInfo >= 0) r.update(posInfo, infoRow(info))
+      rows += r
+    }
+
+    override def onRelation(id: Long, memids: Array[Long], roles: Array[String], types: Array[Byte],
+        tagK: Array[String], tagV: Array[String], info: PbfCodec.InfoData): Unit = {
+      val r = baseRow(kindRelation, id)
+      if (posMembers >= 0) {
+        val ms = new Array[Any](memids.length)
+        var i = 0
+        while (i < memids.length) {
+          val m = new GenericInternalRow(3)
+          m.setLong(0, memids(i))
+          m.update(1, UTF8String.fromString(roles(i)))
+          m.update(2, UTF8String.fromString(PbfCodec.MemberTypeNames(types(i).toInt)))
+          ms(i) = m
+          i += 1
+        }
+        r.update(posMembers, new GenericArrayData(ms))
+      }
+      if (posTags >= 0) r.update(posTags, tagsData(tagK, tagV))
+      if (posInfo >= 0) r.update(posInfo, infoRow(info))
+      rows += r
+    }
+
+    override def onChangeSet(id: Long, tagK: Array[String], tagV: Array[String]): Unit = {
+      val r = baseRow(kindChangeset, id)
+      if (posTags >= 0) r.update(posTags, tagsData(tagK, tagV))
+      rows += r
+    }
+  }
+
+  override def next(): Boolean = {
+    while (rowIdx >= rows.length) {
+      if (blobIdx >= partition.blobs.length) return false
+      val ptr = partition.blobs(blobIdx)
+      blobIdx += 1
+      rows = mutable.ArrayBuffer.empty
+      rowIdx = 0
+      try {
+        val payload = FrameScanner.readBlobPayload(ptr, conf)
+        val block = PbfCodec.decodeBlobPayload(payload, 0, payload.length)
+        PbfCodec.decodeBlock(block, new RowHandler(ptr.headerOffset), kindsMask, wantTags, wantInfo)
+      } catch {
+        case _: Exception => decodeErrors += 1
+      }
+    }
+    current = rows(rowIdx)
+    rowIdx += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "decodeErrors"
+      override def value(): Long = decodeErrors
+    })
+}

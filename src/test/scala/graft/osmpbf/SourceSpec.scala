@@ -1,0 +1,96 @@
+package graft.osmpbf
+
+import graft.SparkTestBase
+import graft.fixtures.OsmWorld
+import graft.osmpbf.source.OsmPbf
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val (path, world) = OsmWorld.cachedPbf(tmpDir, seed = 42, nClusters = 4, nodesPerCluster = 120)
+
+  test("source decode parity: counts, coordinates, tags match ground truth") {
+    val df = OsmPbf.raw(spark, path).cache()
+    val counts = df.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("node") === world.nodes.size)
+    assert(counts("way") === world.ways.size)
+    assert(counts("relation") === world.relations.size)
+
+    // coordinate equality on a sample of nodes
+    val got = df.where(col("kind") === "node")
+      .select("id", "lat_nd", "lon_nd", "lat", "lon").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    world.nodes.foreach { n =>
+      val (latNd, lonNd, lat, lon) = got(n.id)
+      assert(latNd === n.lat_nd && lonNd === n.lon_nd)
+      assert(lat === n.lat_nd * 1e-9 && lon === n.lon_nd * 1e-9)
+    }
+
+    // tag equality for tagged nodes
+    val taggedGot = df.where(col("kind") === "node" && size(map_keys(col("tags"))) > 0)
+      .select("id", "tags").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
+    val taggedExp = world.nodes.filter(_.tags.nonEmpty).map(n => n.id -> n.tags).toMap
+    assert(taggedGot === taggedExp)
+    df.unpersist()
+  }
+
+  test("typed Dataset API: nodes/ways/relations round trip") {
+    val nodes = OsmPbf.nodes(spark, path).collect()
+    assert(nodes.length === world.nodes.size)
+    val byId = nodes.map(n => n.id -> n).toMap
+    world.nodes.take(50).foreach { exp =>
+      val got = byId(exp.id)
+      assert(got.lat_nd === exp.lat_nd)
+      assert(got.tags === exp.tags)
+      assert(got.info.map(_.user) === exp.info.map(_.user))
+      assert(got.info.map(_.ts) === exp.info.map(_.ts))
+    }
+    val ways = OsmPbf.ways(spark, path).collect()
+    assert(ways.map(w => w.id -> w.refs).toMap === world.ways.map(w => w.id -> w.refs).toMap)
+    val rels = OsmPbf.relations(spark, path).collect()
+    assert(rels.map(r => r.id -> r.members).toMap ===
+      world.relations.map(r => r.id -> r.members).toMap)
+  }
+
+  test("kind filter prunes blobs and decode work") {
+    val ways = OsmPbf.raw(spark, path, kind = "ways")
+    val n = ways.where(col("kind") === "way").count()
+    assert(n === world.ways.size)
+    // physical plan should carry the kind pushdown in the scan description
+    val plan = ways.where(col("kind") === "way").queryExecution.executedPlan.toString
+    assert(plan.contains("osmpbf"), plan)
+  }
+
+  test("id range filter uses zone maps but returns exact rows") {
+    val ids = world.nodes.map(_.id)
+    val lo = ids.min + 5
+    val hi = ids.min + 60
+    val got = OsmPbf.nodes(spark, path).where(col("id").between(lo, hi)).collect().map(_.id).sorted
+    assert(got.toSeq === ids.filter(i => i >= lo && i <= hi).sorted)
+  }
+
+  test("count via groupBy matches reference count_elements semantics") {
+    val m = OsmPbf.countElements(spark, path).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("node") === world.nodes.size && m("way") === world.ways.size)
+  }
+
+  test("header() exposes replication metadata (osmosis semantics)") {
+    val h = OsmPbf.header(path).get
+    assert(h.replication_sequence === Some(4242L))
+    assert(h.required_features.contains("DenseNodes"))
+  }
+
+  test("multiple files in a directory read as one table") {
+    val dir = java.nio.file.Files.createTempDirectory("multi").toString
+    val w1 = OsmWorld.generate(seed = 1, nClusters = 1, nodesPerCluster = 30)
+    val w2 = OsmWorld.generate(seed = 2, nClusters = 1, nodesPerCluster = 30)
+    OsmWorld.writePbf(s"$dir/a.osm.pbf", w1)
+    OsmWorld.writePbf(s"$dir/b.osm.pbf", w2)
+    val n = OsmPbf.raw(spark, dir).where(col("kind") === "node").count()
+    assert(n === w1.nodes.size + w2.nodes.size)
+  }
+}
