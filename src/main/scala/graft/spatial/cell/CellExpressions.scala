@@ -1,0 +1,185 @@
+package graft.spatial.cell
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the spatial hot path (north_star:
+  * "codegen-friendly UDFs for batched cell encode and PIP"). Each
+  * generates a static call into CellMath/GeomEval from within whole-stage
+  * codegen — no UDF serialization, no boxing, null-safety handled by
+  * nullSafeCodeGen.
+  */
+case class CellOfExpr(lonExpr: Expression, latExpr: Expression, resExpr: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lonExpr
+  override def second: Expression = latExpr
+  override def third: Expression = resExpr
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cell_of"
+
+  override protected def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    CellMath.cellOf(lon.asInstanceOf[Double], lat.asInstanceOf[Double], res.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, res) =>
+      s"graft.spatial.cell.CellMath$$.MODULE$$.cellOf($lon, $lat, $res)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+case class CellZExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cell_z"
+  override protected def nullSafeEval(cell: Any): Any = CellMath.zValue(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spatial.cell.CellMath$$.MODULE$$.zValue($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class CellParentExpr(cellExpr: Expression, resExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = cellExpr
+  override def right: Expression = resExpr
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cell_parent"
+  override protected def nullSafeEval(cell: Any, res: Any): Any =
+    CellMath.parentAt(cell.asInstanceOf[Long], res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) => s"graft.spatial.cell.CellMath$$.MODULE$$.parentAt($c, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+case class HaversineExpr(lon1: Expression, lat1: Expression, lon2: Expression, lat2: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = lon1
+  override def second: Expression = lat1
+  override def third: Expression = lon2
+  override def fourth: Expression = lat2
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "haversine_m"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    CellMath.haversineMeters(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.spatial.cell.CellMath$$.MODULE$$.haversineMeters($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(a, b, c, d)
+}
+
+/** Evaluation helpers shared by interpreted + generated code. Operate
+  * directly on Catalyst ArrayData (no row conversion). */
+object GeomEval {
+  /** Even-odd ray casting over multiple rings (outer + holes):
+    * point is inside iff it crosses an odd number of edges in total.
+    * rings: ARRAY<ARRAY<STRUCT<lon DOUBLE, lat DOUBLE>>>. Rings may be
+    * explicitly closed (first==last) or not; the algorithm treats them as
+    * closed either way. Reference semantics: C12 (SURVEY.md §2.6).
+    */
+  def pipRings(lon: Double, lat: Double, rings: ArrayData): Boolean = {
+    var inside = false
+    var ri = 0
+    val nRings = rings.numElements()
+    while (ri < nRings) {
+      val ring = rings.getArray(ri)
+      val n = ring.numElements()
+      if (n >= 3) {
+        var i = 0
+        var j = n - 1
+        // skip duplicate closing point so the implicit closing edge isn't counted twice
+        val last = ring.getStruct(n - 1, 2)
+        val first = ring.getStruct(0, 2)
+        val effN = if (n > 3 && last.getDouble(0) == first.getDouble(0) &&
+          last.getDouble(1) == first.getDouble(1)) n - 1 else n
+        j = effN - 1
+        while (i < effN) {
+          val pi = ring.getStruct(i, 2)
+          val pj = ring.getStruct(j, 2)
+          val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+          val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+          if (((yi > lat) != (yj > lat)) &&
+              (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+          j = i
+          i += 1
+        }
+      }
+      ri += 1
+    }
+    inside
+  }
+
+  /** Scala-side PIP over plain arrays (tests, assembly). */
+  def pip(lon: Double, lat: Double, rings: Seq[Seq[(Double, Double)]]): Boolean = {
+    var inside = false
+    rings.foreach { ringRaw =>
+      val ring = if (ringRaw.length > 3 && ringRaw.head == ringRaw.last) ringRaw.dropRight(1) else ringRaw
+      if (ring.length >= 3) {
+        var i = 0
+        var j = ring.length - 1
+        while (i < ring.length) {
+          val (xi, yi) = ring(i)
+          val (xj, yj) = ring(j)
+          if (((yi > lat) != (yj > lat)) && (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi))
+            inside = !inside
+          j = i
+          i += 1
+        }
+      }
+    }
+    inside
+  }
+}
+
+case class PointInPolygonExpr(lonExpr: Expression, latExpr: Expression, ringsExpr: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lonExpr
+  override def second: Expression = latExpr
+  override def third: Expression = ringsExpr
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_polygon"
+
+  override protected def nullSafeEval(lon: Any, lat: Any, rings: Any): Any =
+    GeomEval.pipRings(lon.asInstanceOf[Double], lat.asInstanceOf[Double], rings.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, rings) =>
+      s"graft.spatial.cell.GeomEval$$.MODULE$$.pipRings($lon, $lat, $rings)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** Column-level API, mirroring org.apache.spark.sql.functions style. */
+object functions {
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+  private def col(x: Expression): Column = ColumnBridge.column(x)
+  private def dbl(c: Column): Expression = Cast(e(c), DoubleType)
+
+  def cell_of(lon: Column, lat: Column, res: Column): Column =
+    col(CellOfExpr(dbl(lon), dbl(lat), Cast(e(res), IntegerType)))
+  def cell_of(lon: Column, lat: Column, res: Int): Column =
+    col(CellOfExpr(dbl(lon), dbl(lat), Literal(res)))
+  def cell_z(cell: Column): Column = col(CellZExpr(e(cell)))
+  def cell_parent(cell: Column, res: Int): Column =
+    col(CellParentExpr(e(cell), Literal(res)))
+  def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    col(HaversineExpr(dbl(lon1), dbl(lat1), dbl(lon2), dbl(lat2)))
+  def point_in_polygon(lon: Column, lat: Column, rings: Column): Column =
+    col(PointInPolygonExpr(dbl(lon), dbl(lat), e(rings)))
+
+  /** Register SQL names so `spark.sql` queries can use them too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cell_of", es => CellOfExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("cell_z", es => CellZExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cell_parent", es => CellParentExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("haversine_m", es => HaversineExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("point_in_polygon", es => PointInPolygonExpr(es(0), es(1), es(2)), "built-in")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.spatial.geom
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Way / relation geometry assembly (SURVEY.md J1/J2).
+  *
+  * The reference implies these joins by storing `refs`/`memids` as node
+  * references (way.rs:21-23, relation.rs:26-32) but never executes them;
+  * here they are declarative Spark joins so Catalyst plans them (sort-merge
+  * with AQE skew handling at scale; broadcast when the dimension side is
+  * small).
+  */
+object Assembly {
+
+  /** ways × nodes → way_geoms(id, pts ARRAY<STRUCT<lon,lat>>, closed, tags).
+    *
+    * posexplode keeps ref order; re-aggregation sorts by position inside
+    * the collected list, so the join itself needs no ordering guarantee.
+    * Scale note: this is the one unavoidable big shuffle of the OSM side
+    * (every way ref meets the node table); both sides hash-partition on
+    * nodeId and partial aggregation is map-side. At 100 TB the node table
+    * would be bucketed by id so this becomes a co-located join.
+    */
+  def wayGeometries(nodes: DataFrame, ways: DataFrame): DataFrame = {
+    val refs = ways.select(col("id").as("way_id"), col("tags"),
+      posexplode(col("refs")).as(Seq("pos", "node_id")))
+    val pts = nodes.select(col("id").as("node_id"), col("lon"), col("lat"))
+    refs.join(pts, "node_id")
+      .groupBy(col("way_id").as("id"))
+      .agg(
+        first(col("tags")).as("tags"),
+        sort_array(collect_list(struct(col("pos"), col("lon"), col("lat")))).as("ordered"))
+      .select(
+        col("id"),
+        expr("transform(ordered, p -> struct(p.lon as lon, p.lat as lat))").as("pts"),
+        col("tags"))
+      .withColumn("closed",
+        size(col("pts")) > 3 && col("pts").getItem(0) === element_at(col("pts"), -1))
+  }
+
+  private def bboxOf(ringsCol: Column): Column = {
+    val flat = flatten(ringsCol)
+    struct(
+      expr("aggregate(flatten(rings), cast(180.0 as double), (a, p) -> least(a, p.lon))").as("min_lon"),
+      expr("aggregate(flatten(rings), cast(90.0 as double), (a, p) -> least(a, p.lat))").as("min_lat"),
+      expr("aggregate(flatten(rings), cast(-180.0 as double), (a, p) -> greatest(a, p.lon))").as("max_lon"),
+      expr("aggregate(flatten(rings), cast(-90.0 as double), (a, p) -> greatest(a, p.lat))").as("max_lat"))
+  }
+
+  /** Closed, polygon-tagged ways → single-ring polygons
+    * (id, rings, tags, bbox — FIXTURES.md §B `polygons` schema). */
+  def polygonsFromWays(wayGeoms: DataFrame,
+      polygonTagKeys: Seq[String] = Seq("building", "landuse", "natural", "leisure", "amenity")): DataFrame = {
+    val isPolyTag = polygonTagKeys.map(k => map_contains_key(col("tags"), k))
+      .reduce(_ || _)
+    wayGeoms
+      .where(col("closed") && isPolyTag)
+      .select(col("id"), array(col("pts")).as("rings"), col("tags"))
+      .withColumn("bbox", bboxOf(col("rings")))
+  }
+
+  /** Multipolygon relations → polygons with outer + inner rings (J2).
+    * Depth-1 only: OSM multipolygons reference ways (relation.rs:26-32,
+    * member_type.rs). Outer rings sort before inner so even-odd PIP sees
+    * a consistent ring order (the test itself is order-independent).
+    */
+  def polygonsFromRelations(relations: DataFrame, wayGeoms: DataFrame): DataFrame = {
+    val members = relations
+      .where(element_at(col("tags"), "type") === "multipolygon")
+      .select(col("id").as("rel_id"), col("tags"), explode(col("members")).as("m"))
+      .where(col("m.mtype") === "way" && col("m.role").isin("outer", "inner"))
+      .select(col("rel_id"), col("tags"), col("m.memid").as("way_id"), col("m.role").as("role"))
+    members
+      .join(wayGeoms.select(col("id").as("way_id"), col("pts")), "way_id")
+      .groupBy(col("rel_id").as("id"))
+      .agg(
+        first(col("tags")).as("tags"),
+        expr("transform(sort_array(collect_list(struct(case when role = 'outer' then 0 else 1 end as r, pts))), x -> x.pts)")
+          .as("rings"))
+      .withColumn("bbox", bboxOf(col("rings")))
+      .select("id", "rings", "tags", "bbox")
+  }
+
+  /** Unified polygon table: way polygons ∪ relation multipolygons.
+    * Way ids and relation ids share a namespace in OSM only per-type, so a
+    * `src` discriminator keeps them unique. */
+  def polygons(nodes: DataFrame, ways: DataFrame, relations: DataFrame): DataFrame = {
+    val wg = wayGeometries(nodes, ways).cache()
+    val fromWays = polygonsFromWays(wg).withColumn("src", lit("way"))
+    val fromRels = polygonsFromRelations(relations, wg).withColumn("src", lit("relation"))
+    fromWays.unionByName(fromRels)
+  }
+}

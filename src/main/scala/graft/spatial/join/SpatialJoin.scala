@@ -1,0 +1,154 @@
+package graft.spatial.join
+
+import graft.spatial.cell.CellMath
+import graft.spatial.cell.{functions => F}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cell-indexed spatial joins (north_star J3/J4): the PIP join is rewritten
+  * manually into a cell equi-join + exact ray-cast test (SURVEY.md §4 —
+  * deliberate API-layer rewrite instead of planner surgery), with three
+  * physical paths:
+  *
+  *   - broadcast: polygon side broadcast when small (north_star
+  *     "broadcast joins for small polygon sets");
+  *   - shuffle: plain cell equi-join, AQE skew-join handles moderate skew;
+  *   - salted: hot cells (dense urban tiles) replicated S ways on the
+  *     polygon side, points pick `pmod(hash(ptId), S)` — bounded fan-out
+  *     skew mitigation (north_star "salted repartitioning for hot cells").
+  *
+  * All paths produce identical rows (asserted in SpatialJoinSpec).
+  */
+object SpatialJoin {
+
+  private val coverUdf = udf((minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, res: Int) =>
+    CellMath.coverBBox(minLon, minLat, maxLon, maxLat, res))
+
+  /** Polygon side exploded to its bbox cell cover at `res`.
+    * Output: (poly_id, rings, poly side payload..., cell). */
+  def polygonCells(polys: DataFrame, res: Int): DataFrame =
+    polys.withColumn("cell",
+      explode(coverUdf(col("bbox.min_lon"), col("bbox.min_lat"),
+        col("bbox.max_lon"), col("bbox.max_lat"), lit(res))))
+
+  /** Point-in-polygon join.
+    *
+    * @param points  must carry `lon`, `lat` (any other columns pass through)
+    * @param polys   polygons table (id, rings, tags, bbox, ...)
+    * @param res     cell resolution for the equi-join (higher = finer cover,
+    *                fewer false candidates, more polygon replication)
+    * @param mode    "broadcast" | "shuffle" | "salted"
+    * @param salt    replication factor for the salted path
+    */
+  def pipJoin(points: DataFrame, polys: DataFrame, res: Int = 12,
+      mode: String = "shuffle", salt: Int = 8): DataFrame = {
+    val polyCells = polygonCells(
+      polys.select(col("id").as("poly_id"), col("rings"), col("tags").as("poly_tags"), col("bbox")), res)
+      .drop("bbox")
+    val pts = points.withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
+    val exact = F.point_in_polygon(col("lon"), col("lat"), col("rings"))
+
+    val joined = mode match {
+      case "broadcast" =>
+        pts.join(broadcast(polyCells), Seq("cell"))
+      case "shuffle" =>
+        pts.join(polyCells, Seq("cell"))
+      case "salted" =>
+        // polygon-cell rows replicated `salt` ways; each point probes one
+        // replica. Key (cell, salt_id) splits a hot cell across `salt`
+        // reducers while every matching pair still meets exactly once.
+        val replicated = polyCells.withColumn("salt_id",
+          explode(sequence(lit(0), lit(salt - 1))))
+        val saltedPts = pts.withColumn("salt_id",
+          pmod(xxhash64(col("lon"), col("lat")), lit(salt)).cast("int"))
+        saltedPts.join(replicated, Seq("cell", "salt_id")).drop("salt_id")
+      case other => throw new IllegalArgumentException(s"unknown pipJoin mode: $other")
+    }
+    joined.where(exact).drop("cell", "rings")
+  }
+
+  /** k-nearest-neighbour join by expanding cell rings (north_star J4).
+    *
+    * Iterative doubling: round i probes the candidate disk of Chebyshev
+    * radius r_i around each unresolved point's cell; a point retires when
+    * it has ≥ k candidates whose k-th haversine distance is provably within
+    * the ring-guaranteed radius (no closer POI can live outside the probed
+    * disk). Remaining stragglers after `maxRadius` fall back to a full
+    * cross join (bounded: only unresolved points — SURVEY.md §7.4 risk 3).
+    *
+    * @param points DataFrame with (pt_id, lon, lat)
+    * @param pois   DataFrame with (poi_id, lon, lat)
+    * @return (pt_id, poi_id, dist_m, rank) — exactly k rows per point
+    *         (fewer iff |pois| < k), rank 1 = nearest. Ties broken by poi_id.
+    */
+  def knnJoin(points: DataFrame, pois: DataFrame, k: Int, res: Int = 8,
+      maxRadius: Int = 8): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val diskUdf = udf((cell: Long, r: Int) => CellMath.disk(cell, r))
+    val poiCells = pois
+      .select(col("poi_id"), col("lon").as("poi_lon"), col("lat").as("poi_lat"))
+      .withColumn("cell", F.cell_of(col("poi_lon"), col("poi_lat"), res))
+      .cache()
+
+    val cellHeightDeg = 180.0 / (1 << res)
+    val metersPerDeg = 111194.9
+
+    var active = points
+      .select(col("pt_id"), col("lon"), col("lat"))
+      .withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
+    var results: DataFrame = null
+    var radius = 1
+    while (radius <= maxRadius && !active.isEmpty) {
+      val cand = active
+        .withColumn("probe", explode(diskUdf(col("cell"), lit(radius))))
+        .join(poiCells.withColumnRenamed("cell", "probe"), Seq("probe"))
+        .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
+      val w = Window.partitionBy(col("pt_id")).orderBy(col("dist_m"), col("poi_id"))
+      val ranked = cand
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+      // guaranteed covered haversine radius of the probed disk: anything
+      // outside the disk is ≥ `radius` whole cells away in lat, or in lon
+      // scaled by cos(lat) — take the conservative min of the two axes.
+      val stats = ranked.groupBy("pt_id")
+        .agg(count(lit(1)).as("n"), max(col("dist_m")).as("dk"),
+          first(col("lat")).as("_lat"))
+        .withColumn("safe", (col("n") === k.toLong) &&
+          col("dk") <= (lit(radius) * lit(cellHeightDeg) * lit(metersPerDeg)) *
+            least(lit(1.0), cos(radians(abs(col("_lat")) + lit(radius * cellHeightDeg)))))
+      val safeIds = stats.where(col("safe")).select("pt_id")
+      val done = ranked.join(safeIds, Seq("pt_id"), "left_semi")
+        .select("pt_id", "poi_id", "dist_m", "rank")
+      results = if (results == null) done else results.unionByName(done)
+      active = active.join(safeIds, Seq("pt_id"), "left_anti")
+      radius *= 2
+    }
+    if (!active.isEmpty) {
+      // exact fallback for stragglers (sparse regions / poles): brute-force
+      // against all POIs, but only for the small unresolved remainder.
+      val w = Window.partitionBy(col("pt_id")).orderBy(col("dist_m"), col("poi_id"))
+      val rest = active.crossJoin(poiCells.drop("cell"))
+        .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("pt_id", "poi_id", "dist_m", "rank")
+      results = if (results == null) rest else results.unionByName(rest)
+    }
+    poiCells.unpersist()
+    results
+  }
+
+  /** Range-partition a cell-keyed DataFrame by Z-order of the cell — the
+    * "explicit range-partitioning by cell prefix" of the north rule.
+    * Locality: neighbouring cells land in the same or adjacent partitions,
+    * so downstream per-tile work is IO-local. */
+  def repartitionByCellPrefix(df: DataFrame, cellCol: String, numPartitions: Int): DataFrame =
+    df.withColumn("_z", F.cell_z(col(cellCol)))
+      .repartitionByRange(numPartitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+}
