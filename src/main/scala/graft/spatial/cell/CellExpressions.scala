@@ -114,6 +114,52 @@ object GeomEval {
     inside
   }
 
+  /** Liang–Barsky: does segment (x1,y1)-(x2,y2) intersect the axis-aligned
+    * rectangle [minX,maxX]×[minY,maxY]? Used for polygon↔tile boundary
+    * tests (a tile is touched by a polygon iff an edge crosses it or the
+    * tile center is inside). */
+  def segmentIntersectsRect(x1: Double, y1: Double, x2: Double, y2: Double,
+      minX: Double, minY: Double, maxX: Double, maxY: Double): Boolean = {
+    val dx = x2 - x1
+    val dy = y2 - y1
+    var t0 = 0.0
+    var t1 = 1.0
+    val p = Array(-dx, dx, -dy, dy)
+    val q = Array(x1 - minX, maxX - x1, y1 - minY, maxY - y1)
+    var i = 0
+    while (i < 4) {
+      if (p(i) == 0.0) {
+        if (q(i) < 0.0) return false
+      } else {
+        val r = q(i) / p(i)
+        if (p(i) < 0.0) { if (r > t1) return false; if (r > t0) t0 = r }
+        else { if (r < t0) return false; if (r < t1) t1 = r }
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Does any ring edge intersect the rectangle? */
+  def ringsIntersectRect(rings: Seq[Seq[(Double, Double)]],
+      minX: Double, minY: Double, maxX: Double, maxY: Double): Boolean = {
+    rings.exists { ring =>
+      if (ring.length < 2) false
+      else {
+        var i = 0
+        var hit = false
+        val n = ring.length
+        while (i < n && !hit) {
+          val (x1, y1) = ring(i)
+          val (x2, y2) = ring((i + 1) % n)
+          hit = segmentIntersectsRect(x1, y1, x2, y2, minX, minY, maxX, maxY)
+          i += 1
+        }
+        hit
+      }
+    }
+  }
+
   /** Scala-side PIP over plain arrays (tests, assembly). */
   def pip(lon: Double, lat: Double, rings: Seq[Seq[(Double, Double)]]): Boolean = {
     var inside = false

@@ -44,8 +44,10 @@ object SpatialJoin {
     */
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int = 12,
       mode: String = "shuffle", salt: Int = 8): DataFrame = {
+    // polygon payload columns (src, etc.) pass through; id/tags renamed to
+    // avoid colliding with point-side columns
     val polyCells = polygonCells(
-      polys.select(col("id").as("poly_id"), col("rings"), col("tags").as("poly_tags"), col("bbox")), res)
+      polys.withColumnRenamed("id", "poly_id").withColumnRenamed("tags", "poly_tags"), res)
       .drop("bbox")
     val pts = points.withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
     val exact = F.point_in_polygon(col("lon"), col("lat"), col("rings"))

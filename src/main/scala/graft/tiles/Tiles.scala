@@ -31,25 +31,29 @@ object Tiles {
 
   private val tilesOfPolygonUdf = udf(
     (minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
-        rings: Seq[Seq[org.apache.spark.sql.Row]], z: Int) => {
+        rings: Seq[Seq[Seq[Double]]], z: Int) => {
       val ringSeq: Seq[Seq[(Double, Double)]] =
-        rings.map(_.map(r => (r.getDouble(0), r.getDouble(1))))
+        rings.map(_.map(r => (r(0), r(1))))
       CellMath.coverBBox(minLon, minLat, maxLon, maxLat, z).filter { tile =>
         val (tMinLon, tMinLat, tMaxLon, tMaxLat) = CellMath.bounds(tile)
         val cLon = (tMinLon + tMaxLon) / 2
         val cLat = (tMinLat + tMaxLat) / 2
+        // interior tiles: center inside (even-odd, so holes excluded);
+        // boundary tiles: some ring edge crosses the tile rectangle
         graft.spatial.cell.GeomEval.pip(cLon, cLat, ringSeq) ||
-          ringSeq.exists(_.exists { case (vLon, vLat) =>
-            vLon >= tMinLon && vLon < tMaxLon && vLat >= tMinLat && vLat < tMaxLat }) ||
-          (minLon <= tMinLon && maxLon >= tMaxLon && minLat <= tMinLat && maxLat >= tMaxLat)
+          graft.spatial.cell.GeomEval.ringsIntersectRect(
+            ringSeq, tMinLon, tMinLat, tMaxLon, tMaxLat)
       }
     })
 
-  /** polygons(id, rings, bbox, ...) → (id, tile) pairs at zoom z. */
+  /** polygons(id, rings, bbox, ...) → (id, tile) pairs at zoom z.
+    * Rings are reshaped struct→array<double> first: Spark scala UDFs cannot
+    * take nested Row arguments. */
   def assignPolygons(polys: DataFrame, z: Int): DataFrame =
     polys.select(col("id"), explode(tilesOfPolygonUdf(
       col("bbox.min_lon"), col("bbox.min_lat"), col("bbox.max_lon"), col("bbox.max_lat"),
-      col("rings"), lit(z))).as("tile"))
+      expr("transform(rings, ring -> transform(ring, p -> array(p.lon, p.lat)))"),
+      lit(z))).as("tile"))
 
   /** Per-tile aggregation of an assigned point table (A7): image counts +
     * any numeric payload stats, partial-agg friendly. */

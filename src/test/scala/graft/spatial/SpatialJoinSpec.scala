@@ -1,0 +1,155 @@
+package graft.spatial
+
+import graft.SparkTestBase
+import graft.fixtures.OsmWorld
+import graft.osmpbf.source.OsmPbf
+import graft.spatial.cell.GeomEval
+import graft.spatial.geom.Assembly
+import graft.spatial.join.SpatialJoin
+import graft.tiles.{Images, Tiles}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val (pbfPath, world) = OsmWorld.cachedPbf(tmpDir, seed = 42, nClusters = 4, nodesPerCluster = 100)
+  private lazy val nodes = OsmPbf.nodes(spark, pbfPath).toDF().cache()
+  private lazy val ways = OsmPbf.ways(spark, pbfPath).toDF().cache()
+  private lazy val relations = OsmPbf.relations(spark, pbfPath).toDF().cache()
+  private lazy val polys = Assembly.polygons(nodes, ways, relations).cache()
+
+  // ground-truth polygon set computed driver-side from the world fixture
+  private lazy val expectedPolys: Map[(String, Long), Seq[Seq[(Double, Double)]]] = {
+    val nodeById = world.nodes.map(n => n.id -> (n.lon, n.lat)).toMap
+    val wayById = world.ways.map(w => w.id -> w).toMap
+    val fromWays = world.ways
+      .filter(w => w.refs.head == w.refs.last && w.refs.size > 3 &&
+        Seq("building", "landuse", "natural", "leisure", "amenity").exists(w.tags.contains))
+      .map(w => ("way", w.id) -> Seq(w.refs.map(nodeById)))
+    val fromRels = world.relations
+      .filter(_.tags.get("type").contains("multipolygon"))
+      .map { r =>
+        val rings = r.members.sortBy(m => if (m.role == "outer") 0 else 1)
+          .map(m => wayById(m.memid).refs.map(nodeById).toSeq)
+        ("relation", r.id) -> rings.toSeq
+      }
+    (fromWays ++ fromRels).toMap
+  }
+
+  test("J1 way assembly: pts match node coordinates in ref order") {
+    val got = Assembly.wayGeometries(nodes, ways).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getDouble(1))))
+      .toMap
+    val nodeById = world.nodes.map(n => n.id -> (n.lon, n.lat)).toMap
+    world.ways.foreach { w =>
+      assert(got(w.id) === w.refs.map(nodeById), s"way ${w.id}")
+    }
+  }
+
+  test("J1 closed flag") {
+    val closed = Assembly.wayGeometries(nodes, ways).select("id", "closed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    world.ways.foreach { w =>
+      assert(closed(w.id) === (w.refs.size > 3 && w.refs.head == w.refs.last), s"way ${w.id}")
+    }
+  }
+
+  test("J2 polygon assembly matches ground truth (incl. multipolygon rings)") {
+    val got = polys.collect().map { r =>
+      val rings = r.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](r.fieldIndex("rings"))
+        .map(_.map(p => (p.getDouble(0), p.getDouble(1))).toSeq)
+      ((r.getAs[String]("src"), r.getAs[Long]("id")), rings)
+    }.toMap
+    assert(got.keySet === expectedPolys.keySet)
+    expectedPolys.foreach { case (k, expRings) =>
+      assert(got(k).map(_.toSeq).toSeq === expRings.map(_.toSeq).toSeq, s"polygon $k")
+    }
+  }
+
+  private def mkPoints(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val (lon, lat) = Images.position(i.toLong, world.clusterCenters)
+      (i.toLong, lon, lat)
+    }.toDF("pt_id", "lon", "lat")
+  }
+
+  private def bruteForcePip(points: Seq[(Long, Double, Double)]): Set[(Long, String, Long)] = {
+    points.flatMap { case (id, lon, lat) =>
+      expectedPolys.collect { case ((src, pid), rings) if GeomEval.pip(lon, lat, rings) =>
+        (id, src, pid)
+      }
+    }.toSet
+  }
+
+  test("J3 PIP join: all three modes equal brute force") {
+    import spark.implicits._
+    val pts = mkPoints(400).cache()
+    val ptsLocal = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val expected = bruteForcePip(ptsLocal)
+    for (mode <- Seq("broadcast", "shuffle", "salted")) {
+      val got = SpatialJoin.pipJoin(pts, polys, res = 12, mode = mode)
+        .select("pt_id", "src", "poly_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected, s"mode=$mode got=${got.size} exp=${expected.size}")
+    }
+    assert(expected.nonEmpty, "fixture must produce at least one PIP hit")
+  }
+
+  test("J3 broadcast path actually broadcasts") {
+    val plan = SpatialJoin.pipJoin(mkPoints(50), polys, res = 10, mode = "broadcast")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("J4 kNN join equals brute force") {
+    import spark.implicits._
+    val pts = mkPoints(120)
+    val pois = nodes.where(map_contains_key(col("tags"), "amenity"))
+      .select(col("id").as("poi_id"), col("lon"), col("lat")).cache()
+    val k = 3
+    val got = SpatialJoin.knnJoin(pts, pois, k = k, res = 8, maxRadius = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    val poiLocal = pois.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = pts.collect().flatMap { r =>
+      val (id, lon, lat) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      poiLocal.map { case (pid, plon, plat) =>
+        (pid, graft.spatial.cell.CellMath.haversineMeters(lon, lat, plon, plat))
+      }.sortBy(t => (t._2, t._1)).take(k).zipWithIndex
+        .map { case ((pid, _), i) => (id, pid, i + 1) }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("tile assignment: every PIP hit shares a tile between point and polygon") {
+    val z = 10
+    val pts = mkPoints(300)
+    val assigned = Tiles.assignPoints(pts, z)
+    val polyTiles = Tiles.assignPolygons(polys.where(col("src") === "relation"), z)
+    // for every point inside a relation polygon, the point's tile must be
+    // among the polygon's assigned tiles (tile-center OR vertex OR interior)
+    val hits = SpatialJoin.pipJoin(assigned, polys.where(col("src") === "relation"), res = 12)
+      .select("pt_id", "poly_id", "tile")
+    val joined = hits.join(polyTiles.withColumnRenamed("id", "poly_id"),
+      Seq("poly_id", "tile"), "left_semi")
+    assert(joined.count() === hits.count())
+  }
+
+  test("per-tile aggregation (A7) counts match total") {
+    val z = 8
+    val assigned = Tiles.assignPoints(mkPoints(500), z)
+    val stats = Tiles.tileStats(assigned)
+    assert(stats.agg(sum("n")).collect().head.getLong(0) === 500L)
+    assert(stats.select("tile").distinct().count() === stats.count())
+  }
+
+  test("repartitionByCellPrefix yields requested partitioning") {
+    val df = Tiles.assignPoints(mkPoints(1000), 10)
+    val parted = SpatialJoin.repartitionByCellPrefix(df, "tile", 8)
+    assert(parted.rdd.getNumPartitions === 8)
+    assert(parted.count() === 1000)
+  }
+}
