@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.spatial.join.SpatialJoin
+import graft.tiles.Tiles
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship graft computation (BASELINE.json metric): spatial-join +
+  * tile-assignment over the image+caption table against OSM-derived
+  * polygons.
+  *
+  * Steps (all declarative — Catalyst plans the physical strategy):
+  *   1. images → tile assignment at zoom `z` (codegen cell encode);
+  *   2. images × polygons PIP join (cell equi-join at `res` + exact
+  *      ray-cast; broadcast/salted per `mode`);
+  *   3. per-tile aggregation of join hits (partial agg map-side).
+  *
+  * Output: (tile, tile_z, tile_x, tile_y, n_images, n_hits,
+  * n_distinct_polys) — one row per tile that received at least one image.
+  */
+object GraftJob {
+
+  def run(images: DataFrame, polys: DataFrame, z: Int = 10, res: Int = 12,
+      mode: String = "salted", salt: Int = 8): DataFrame = {
+    val assigned = Tiles.assignPoints(images, z)
+    val hits = SpatialJoin.pipJoin(
+      assigned.select("image_id", "lon", "lat", "tile", "tile_z", "tile_x", "tile_y"),
+      polys, res = res, mode = mode, salt = salt)
+    val tileImages = assigned.groupBy("tile", "tile_z", "tile_x", "tile_y")
+      .agg(count(lit(1)).as("n_images"))
+    val tileHits = hits.groupBy("tile")
+      .agg(count(lit(1)).as("n_hits"),
+        approx_count_distinct(concat(col("src"), lit(":"), col("poly_id"))).as("n_distinct_polys"))
+    tileImages.join(tileHits, Seq("tile"), "left")
+      .na.fill(0L, Seq("n_hits", "n_distinct_polys"))
+  }
+
+  /** The raw join rows (for parity checks / downstream training-data use). */
+  def joinRows(images: DataFrame, polys: DataFrame, z: Int = 10, res: Int = 12,
+      mode: String = "salted", salt: Int = 8): DataFrame = {
+    val assigned = Tiles.assignPoints(images, z)
+    SpatialJoin.pipJoin(
+      assigned.select("image_id", "lon", "lat", "tile"),
+      polys, res = res, mode = mode, salt = salt)
+      .select("image_id", "tile", "src", "poly_id")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.fixtures.OsmWorld
+import graft.osmpbf.source.OsmPbf
+import graft.spatial.geom.Assembly
+import graft.tiles.{Images, Tiles}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val (pbfPath, world) = OsmWorld.cachedPbf(tmpDir, seed = 42, nClusters = 4, nodesPerCluster = 100)
+  private lazy val polys = {
+    val nodes = OsmPbf.nodes(spark, pbfPath).toDF()
+    val ways = OsmPbf.ways(spark, pbfPath).toDF()
+    val relations = OsmPbf.relations(spark, pbfPath).toDF()
+    Assembly.polygons(nodes, ways, relations).cache()
+  }
+  private lazy val images = Images.synthesize(spark, 500, world.clusterCenters, 4).cache()
+
+  test("graft job produces tile stats covering every image") {
+    val out = GraftJob.run(images, polys, z = 10, res = 12)
+    assert(out.agg(sum("n_images")).collect().head.getLong(0) === 500L)
+    assert(out.where(col("n_hits") > 0).count() > 0)
+  }
+
+  test("join rows identical across salted and broadcast modes") {
+    val a = GraftJob.joinRows(images, polys, mode = "salted")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    val b = GraftJob.joinRows(images, polys, mode = "broadcast")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("checkpointed run completes, resume skips all buckets") {
+    val outDir = s"$tmpDir/ckpt1"
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile", "tile_z", "tile_x", "tile_y").agg(count(lit(1)).as("n"))
+    val r1 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "snap=7")
+    assert(r1.nonEmpty && r1.forall(!_.skipped))
+    val total = CheckpointedRunner.readOutput(spark, outDir).agg(sum("n")).collect().head.getLong(0)
+    assert(total === 500L)
+    // resume: everything skipped, output unchanged
+    val r2 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "snap=7")
+    assert(r2.forall(_.skipped))
+    assert(CheckpointedRunner.readOutput(spark, outDir).agg(sum("n")).collect().head.getLong(0) === total)
+  }
+
+  test("crash mid-run: resume redoes only unfinished buckets (fault tolerance)") {
+    val outDir = s"$tmpDir/ckpt2"
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile").agg(count(lit(1)).as("n"))
+    // fail on the third distinct bucket encountered
+    var seen = 0
+    val boom = (b: Long) => { seen += 1; if (seen == 3) throw new RuntimeException("injected crash") }
+    val attempt = intercept[RuntimeException] {
+      CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "x", failInjector = boom)
+    }
+    assert(attempt.getMessage === "injected crash")
+    // resume without injector: completes; first two buckets were skipped
+    val r2 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "x")
+    assert(r2.count(_.skipped) === 2)
+    assert(CheckpointedRunner.readOutput(spark, outDir).agg(sum("n")).collect().head.getLong(0) === 500L)
+    // metrics file reflects the completed run
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/_pipeline_metrics.json")))
+    assert(metrics.contains("\"buckets_skipped\":2"))
+  }
+}
