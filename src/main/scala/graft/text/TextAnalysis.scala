@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / language / token operators for training-data pipelines.
+  * Deliberately expressed with arithmetic on `length`/`replace`/`split`
+  * built-ins (codegen'd, and reproducible as plain ANSI SQL for the DuckDB
+  * oracle) rather than opaque UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: split on single spaces, keeping empties —
+    * semantics match DuckDB `len(string_split(text, ' '))`. */
+  def tokenCount(text: Column): Column = size(split(text, " ", -1))
+
+  /** Occurrences of a literal substring, via length arithmetic (SQL-safe). */
+  def countOccurrences(text: Column, sub: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), ""))) /
+      lit(sub.length)).cast("long")
+
+  private def countLit(text: Column, sub: String): Column =
+    ((length(text) - length(replaceLit(text, sub))) / lit(sub.length)).cast("long")
+
+  private def replaceLit(text: Column, sub: String): Column =
+    regexp_replace(text, java.util.regex.Pattern.quote(sub), "")
+
+  /** Heuristic quality features + score (length, punctuation density,
+    * stopword ratio, mean word length). Score ∈ [0,1]; higher = better. */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    docs
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", toks.cast("long"))
+      .withColumn("mean_word_len",
+        (length(t) - (toks - lit(1))).cast("double") / toks.cast("double"))
+      .withColumn("punct_count",
+        (countLit(t, ".") + countLit(t, ",") + countLit(t, "!") + countLit(t, "?")).cast("long"))
+      .withColumn("stopword_count",
+        (countLit(lower(t), " the ") + countLit(lower(t), " a ") +
+          countLit(lower(t), " and ") + countLit(lower(t), " of ")).cast("long"))
+      .withColumn("punct_ratio", col("punct_count").cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio", col("stopword_count").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0),
+          (least(col("n_tokens").cast("double") / lit(20.0), lit(1.0)) * lit(0.4)) +
+            (least(col("stopword_ratio") * lit(8.0), lit(1.0)) * lit(0.4)) +
+            (when(col("mean_word_len").between(3.0, 9.0), lit(0.2)).otherwise(lit(0.0)))))
+  }
+
+  /** N-gram-heuristic language ID over a fixed stopword inventory: counts
+    * per-language marker words, argmax with 'und' (undetermined) when no
+    * marker hits. Expressible in plain SQL (the oracle reproduces it). */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = concat(lit(" "), lower(col(textCol)), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => countLit(t, s" $w ")).reduce(_ + _)
+    docs
+      .withColumn("score_en", score(Seq("the", "and", "of", "is", "with")))
+      .withColumn("score_de", score(Seq("der", "die", "und", "ist", "mit")))
+      .withColumn("score_fr", score(Seq("le", "la", "et", "est", "avec")))
+      .withColumn("lang_pred",
+        when(greatest(col("score_en"), col("score_de"), col("score_fr")) === 0, lit("und"))
+          .when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr"), lit("en"))
+          .when(col("score_de") >= col("score_fr"), lit("de"))
+          .otherwise(lit("fr")))
+  }
+
+  /** Document fingerprint: md5 of normalized text (lowercased, trimmed,
+    * runs of whitespace collapsed) + a 16-hex-char prefix as a compact
+    * join key. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm_text", regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      .withColumn("fingerprint", md5(col("norm_text")))
+      .withColumn("fingerprint16", substring(col("fingerprint"), 1, 16))
+      .drop("norm_text")
+}

@@ -1,0 +1,93 @@
+package graft.ann
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")).cache()
+  private lazy val queries = emb.where(col("vec_id") < 8)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+
+  test("cosine expression matches scala computation") {
+    val row = emb.where(col("vec_id").isin(0, 1)).collect()
+    val v0 = row.find(_.getLong(0) == 0L).get.getSeq[Float](1)
+    val v1 = row.find(_.getLong(0) == 1L).get.getSeq[Float](1)
+    val dot = v0.zip(v1).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val expected = dot / (math.sqrt(v0.map(x => x.toDouble * x).sum) * math.sqrt(v1.map(x => x.toDouble * x).sum))
+    import spark.implicits._
+    val got = Seq((v0, v1)).toDF("a", "b")
+      .select(Ann.cosine(col("a"), col("b")).as("c")).collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-6) // float mul in zip_with vs double driver math
+  }
+
+  test("brute-force top-k: correct ranks vs driver-side computation") {
+    val k = 5
+    val got = Ann.bruteForceTopK(queries, corpus, k).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+
+    val corpusLocal = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    queries.collect().foreach { q =>
+      val qid = q.getLong(0)
+      val qv = q.getSeq[Float](1).toArray
+      val expected = corpusLocal.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).map(_._1)
+      val gotIds = (1 to k).map(r => got((qid, r)))
+      assert(gotIds === expected.toSeq, s"query $qid")
+    }
+  }
+
+  test("LSH top-k: high rank-1 recall on clustered data, exactly k rows per query") {
+    import spark.implicits._
+    // planted clusters: 20 centers × 30 members with small noise — real
+    // neighbour structure (uniform random vectors have none, and
+    // hyperplane LSH legitimately degrades to the brute-force fallback
+    // there, which is exactly what the fallback is for)
+    def unit(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(32)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = for (c <- 0 until 20; m <- 0 until 30) yield {
+      val center = unit(c)
+      val noise = unit(c * 1000 + m + 7)
+      val v = center.zip(noise).map { case (a, b) => (a + 0.15 * b).toFloat }
+      (c * 1000L + m, v.toSeq)
+    }
+    val planted = rows.toDF("c_id", "c_vec").cache()
+    val qs = planted.where(col("c_id") % 1000 < 2)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec")).cache()
+    val k = 3
+    val exact = Ann.bruteForceTopK(qs, planted, k)
+      .where(col("rank") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approxDf = Ann.lshTopK(qs, planted, k, nPlanes = 8, nTables = 6).cache()
+    val approx = approxDf.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    val recall = exact.count { case (q, c) => approx.get(q).contains(c) }.toDouble / exact.size
+    assert(recall >= 0.8, s"rank-1 recall $recall")
+    // every query has exactly k rows
+    val counts = approxDf.groupBy("q_id").count().collect().map(_.getLong(1)).toSet
+    assert(counts === Set(k.toLong))
+  }
+
+  test("near-duplicate pairs finds planted duplicate") {
+    import spark.implicits._
+    // plant an exact duplicate of vec 0 with id 100000
+    val v0 = corpus.where(col("c_id") === 0).collect().head.getSeq[Float](1)
+    val planted = corpus.unionByName(Seq((100000L, v0)).toDF("c_id", "c_vec"))
+    val pairs = Ann.nearDuplicatePairs(planted, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100000L)))
+  }
+}

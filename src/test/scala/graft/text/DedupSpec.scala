@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      (4L, "completely different content about spark engines and distributed joins"),
+      (5L, "Der schnelle braune Fuchs springt über den faulen Hund im Wald"),
+      (6L, "le renard brun rapide saute par dessus le chien paresseux et la lune"),
+      (7L, "the quick brown fox jumps over the lazy dog"), // another exact dup
+      (8L, "spark engines and distributed joins are completely different content about"))
+    base.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id as canonical") {
+    val res = Dedup.exact(docs).collect().map(r =>
+      r.getLong(0) -> (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_duplicate"))).toMap
+    assert(res(1L) === ((1L, false)))
+    assert(res(2L) === ((1L, true)))
+    assert(res(7L) === ((1L, true)))
+    assert(res(3L) === ((3L, false)))
+    assert(res(4L) === ((4L, false)))
+  }
+
+  test("minhash signature: identical texts identical sigs; near dups mostly agree") {
+    val s1 = Dedup.minhashSignature(docs.collect()(0).getString(1), 128, 5)
+    val s2 = Dedup.minhashSignature(docs.collect()(1).getString(1), 128, 5)
+    val s3 = Dedup.minhashSignature(docs.collect()(2).getString(1), 128, 5)
+    val s4 = Dedup.minhashSignature(docs.collect()(3).getString(1), 128, 5)
+    assert(s1.toSeq === s2.toSeq)
+    val agree13 = s1.zip(s3).count { case (a, b) => a == b } / 128.0
+    val agree14 = s1.zip(s4).count { case (a, b) => a == b } / 128.0
+    assert(agree13 > 0.6, s"near-dup agreement $agree13")
+    assert(agree14 < 0.3, s"unrelated agreement $agree14")
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashLsh(docs, bands = 16, rows = 8, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 7L)))
+    assert(pairs.contains((2L, 7L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 7L)), s"near dup missed: $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) || Set(a, b).contains(6L) })
+  }
+
+  test("simhash: identical → distance 0; banding finds hamming ≤ 3 pairs") {
+    assert(Dedup.simhash64("hello world foo") === Dedup.simhash64("hello world foo"))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 7L && p._3 == 0))
+  }
+
+  test("ngram jaccard verification on candidate pairs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val verified = Dedup.ngramJaccard(pairs, docs, n = 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("jaccard")).toMap
+    assert(verified((1L, 2L)) === 1.0)
+    assert(verified((1L, 3L)) > 0.5 && verified((1L, 3L)) < 1.0)
+    assert(verified((1L, 4L)) === 0.0)
+  }
+
+  test("dedup scales over the driver documents table") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.exact(real)
+    assert(exact.count() === real.count())
+    val lsh = Dedup.minhashLsh(real, threshold = 0.9)
+    assert(lsh.count() >= 0) // runs end-to-end; dup count is data-dependent
+  }
+}

@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+
+  test("token count matches split-on-space semantics incl. doubles") {
+    import spark.implicits._
+    val df = Seq("a b c", "a  b", "", "single").toDF("text")
+      .withColumn("n", TextAnalysis.tokenCount(col("text")))
+    val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("a b c") === 3)
+    assert(got("a  b") === 3) // empty token between double spaces
+    assert(got("") === 1)
+    assert(got("single") === 1)
+  }
+
+  test("quality features: stopword-rich English text scores higher than noise") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog lay by the door of the house with a bone"),
+      (2L, "zzzz qqqq xxxx jjjj wwww")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(q(1L) > q(2L))
+    assert(q(1L) > 0.5)
+  }
+
+  test("langId classifies marker-word languages") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is with me"),
+      (2L, "der hund ist gross und die katze ist klein mit"),
+      (3L, "le chat est sur la table et le chien est avec moi"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "fr")
+    assert(got(4L) === "und")
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello   World"), (2L, "  hello world "), (3L, "different")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("fingerprint")).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    assert(fp(1L).length === 32)
+  }
+
+  test("runs over the driver documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.langId(TextAnalysis.qualityFeatures(docs))
+    assert(out.count() === docs.count())
+    assert(out.where(col("quality_score").isNull).count() === 0)
+  }
+}
