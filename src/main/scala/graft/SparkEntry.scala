@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ann.Ann
+import graft.pipeline.GraftJob
+import graft.spatial.cell.{functions => F}
+import graft.spatial.join.SpatialJoin
+import graft.text.{Dedup, TextAnalysis}
+import graft.tiles.{ImageTable, Tiles}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2, with DuckDB-equivalent `oracleSql` wherever
+  * the semantics are ANSI-SQL-expressible. Numeric outputs are integers or
+  * exact decimals wherever floating-point accumulation order could differ
+  * between engines (per-row double math is IEEE-identical; only aggregation
+  * order isn't — so doubles are cast to decimals per-row before summing).
+  *
+  * Naming: q* relational/spatial over driver tables; d* documents; e*
+  * embeddings; p* PBF/graft-native (oracle-omitted: DuckDB cannot read
+  * .osm.pbf / run ray-cast PIP; their gate is the ScalaTest suites).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import EntryFixtures._
+
+  /** Flagship: the graft job (images × OSM polygons → tile stats) at
+    * sf0.001 scale. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    GraftJob.run(images(spark, sfDir), polygons(spark, sfDir), z = 10, res = 12)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------- relational core
+    "q1_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("decimal(28,4)").cast("string").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("total"))
+        .orderBy("n_name")
+    }),
+    "q3_filter" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_discount") >= 0.05 && col("l_quantity") < 10.0 &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+    }),
+    "q4_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+    }),
+    "q5_semi_anti" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      withOrders.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    }),
+    "q6_distinct_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          max(col("l_shipdate")).cast("date").cast("string").as("last_ship"))
+        .orderBy("l_returnflag")
+    }),
+    // ------------------------------------------------------- spatial (C11+)
+    "q7_cell_encode" -> ((s, dir) => {
+      lineitemPoints(s, dir)
+        .withColumn("cell", F.cell_of(col("lon"), col("lat"), 8))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+    }),
+    "q8_bbox_filter" -> ((s, dir) => {
+      lineitemPoints(s, dir)
+        .where(col("lon").between(-60.0, 60.0) && col("lat").between(-30.0, 30.0))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    }),
+    "q9_tile_assign" -> ((s, dir) => {
+      Tiles.assignPoints(lineitemPoints(s, dir), 6)
+        .groupBy(col("tile"), col("tile_z"), col("tile_x"), col("tile_y"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q10_pip_rect" -> ((s, dir) => {
+      // the real cell-join + ray-cast PIP operator; oracle reduces to bbox
+      // containment because the polygons are axis-aligned rectangles
+      SpatialJoin.pipJoin(lineitemPoints(s, dir).select("l_orderkey", "l_linenumber", "lon", "lat"),
+          nationRectPolys(s, dir), res = 10, mode = "broadcast")
+        .select(col("l_orderkey"), col("l_linenumber"), col("poly_id").as("rect_id"))
+    }),
+    "q11_knn" -> ((s, dir) => {
+      // distinct coordinates with a coordinate-derived id (lineitem keys are
+      // not unique, which would make per-point kNN ill-defined)
+      val pts = lineitemPoints(s, dir)
+        .select("lon", "lat").distinct()
+        .withColumn("pt_id", concat(round(col("lon") * 1000).cast("long"),
+          lit("_"), round(col("lat") * 1000).cast("long")))
+      SpatialJoin.knnJoin(pts, partPois(s, dir), k = 2, res = 5, maxRadius = 32)
+        .select(col("pt_id"), col("poi_id"), col("rank"))
+    }),
+    "q12_zorder_sort" -> ((s, dir) => {
+      // range partition by cell prefix, then emit per-partition cell spans —
+      // verifies the partitioner produces contiguous, ordered z-ranges
+      val pts = Tiles.assignPoints(lineitemPoints(s, dir), 8)
+      SpatialJoin.repartitionByCellPrefix(pts, "tile", 8)
+        .groupBy("tile").agg(count(lit(1)).as("n"))
+    }),
+    // ------------------------------------------------------ events / window
+    "q13_event_window" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("string").as("total_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+    }),
+    "q14_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events")
+        .withColumn("seq", row_number().over(w))
+        .where(col("seq") <= 5)
+        .select(col("user_id"), col("seq"), col("event_id"))
+    }),
+    "q15_stream_window" -> ((s, dir) => {
+      // Structured Streaming over the same events parquet (AvailableNow
+      // batch-replay); result must equal the batch q13 aggregation
+      val schema = table(s, dir, "events").schema
+      // the streaming file source needs a directory; expose the single
+      // events.parquet file through a symlinked temp dir
+      val streamDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-stream", dir.replaceAll("[^a-zA-Z0-9.]", "_"))
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val agg = stream
+        .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ → event-time
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"), col("n"))
+      val qname = s"stream_q15_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
+    // ---------------------------------------------------------- documents
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(table(s, dir, "documents"))
+    }),
+    "d2_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_count"), col("stopword_count"))
+    }),
+    "d3_langid" -> ((s, dir) => {
+      TextAnalysis.langId(table(s, dir, "documents"))
+        .select(col("doc_id"), col("score_en"), col("score_de"), col("score_fr"), col("lang_pred"))
+    }),
+    "d4_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(table(s, dir, "documents"))
+        .select(col("doc_id"), col("fingerprint"), col("fingerprint16"))
+    }),
+    "d5_minhash_lsh" -> ((s, dir) => {
+      // oracle-omitted (signature hashing not ANSI-SQL-expressible)
+      Dedup.minhashLsh(table(s, dir, "documents"), threshold = 0.5)
+    }),
+    "d6_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(table(s, dir, "documents").limit(2000), maxHamming = 3)
+    }),
+    "d7_ngram_jaccard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, threshold = 0.2)
+        .select("a_id", "b_id").limit(500)
+      Dedup.ngramJaccard(pairs, docs).select("a_id", "b_id", "jaccard")
+    }),
+    // --------------------------------------------------------- embeddings
+    "e1_ann_brute" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Ann.bruteForceTopK(queries, corpus, k = 5)
+        .select("q_id", "c_id", "rank")
+    }),
+    "e2_ann_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Ann.lshTopK(queries, corpus, k = 5).select("q_id", "c_id", "rank")
+    }),
+    "e3_near_dup" -> ((s, dir) => {
+      // planted duplicates: corpus ∪ (corpus shifted by 10^6) —
+      // every vector pairs with its clone at cosine 1.0
+      val emb = table(s, dir, "embeddings").limit(1000)
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val planted = corpus.unionByName(
+        corpus.withColumn("c_id", col("c_id") + 1000000L))
+      Ann.nearDuplicatePairs(planted, threshold = 0.999)
+        .select("a_id", "b_id")
+    }),
+    // ------------------------------------------------- PBF / graft native
+    "p1_pbf_counts" -> ((s, dir) => {
+      val (path, _) = world(dir)
+      graft.osmpbf.source.OsmPbf.countElements(s, path)
+    }),
+    "p2_pbf_tag_filter" -> ((s, dir) => {
+      val (path, _) = world(dir)
+      graft.osmpbf.source.OsmPbf.nodes(s, path).toDF()
+        .where(map_contains_key(col("tags"), "amenity"))
+        .select(col("id"), element_at(col("tags"), "name").as("name"),
+          col("lat_nd"), col("lon_nd"))
+    }),
+    "p3_way_assembly" -> ((s, dir) => {
+      val (nodes, ways, _) = osmTables(s, dir)
+      graft.spatial.geom.Assembly.wayGeometries(nodes, ways)
+        .select(col("id"), size(col("pts")).as("n_pts"), col("closed"))
+    }),
+    "p4_polygons" -> ((s, dir) => {
+      polygons(s, dir).select(col("src"), col("id"), size(col("rings")).as("n_rings"),
+        col("bbox.min_lon"), col("bbox.max_lat"))
+    }),
+    "p5_graft_join" -> ((s, dir) => {
+      GraftJob.joinRows(images(s, dir), polygons(s, dir), z = 10, res = 12, mode = "salted")
+    }),
+    "p6_graft_tiles" -> ((s, dir) => {
+      GraftJob.run(images(s, dir), polygons(s, dir), z = 10, res = 12)
+    }),
+    "p7_image_parity" -> ((s, dir) => {
+      val (_, w) = world(dir)
+      ImageTable.parity(images(s, dir).limit(500), w.clusterCenters)
+        .where(col("psnr_db") >= 40.0 && col("caption_ok") && col("phash_ok"))
+    })
+  )
+
+  /** DuckDB-runnable equivalents (same column names; sorted-by-name hash
+    * compare). Entries absent here are rows-only checked by the driver. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS VARCHAR) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_filter" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_quantity < 10.0 AND l_returnflag = 'R'""".stripMargin,
+    "q4_topk_window" ->
+      """SELECT c_mktsegment, rnk, o_orderkey FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 3""".stripMargin,
+    "q5_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q6_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS last_ship
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_cell_encode" ->
+      s"""SELECT ${EntryFixtures.cellSql("lon", "lat", 8)} AS cell, COUNT(*) AS n
+         |FROM (${EntryFixtures.lineitemPointsSql}) GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q8_bbox_filter" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n
+         |FROM (${EntryFixtures.lineitemPointsSql})
+         |WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -30.0 AND 30.0
+         |GROUP BY 1""".stripMargin,
+    "q9_tile_assign" ->
+      s"""SELECT ${EntryFixtures.cellSql("lon", "lat", 6)} AS tile,
+         |  6 AS tile_z,
+         |  CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 64), 0), 63) AS INT) AS tile_x,
+         |  CAST(LEAST(GREATEST(FLOOR((90.0 - lat) / 180.0 * 64), 0), 63) AS INT) AS tile_y,
+         |  COUNT(*) AS n
+         |FROM (${EntryFixtures.lineitemPointsSql}) GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q10_pip_rect" ->
+      s"""SELECT l_orderkey, l_linenumber, rect_id
+         |FROM (${EntryFixtures.lineitemPointsSql}) p
+         |JOIN (${EntryFixtures.nationRectsSql}) r
+         |  ON p.lon > r.min_lon AND p.lon < r.max_lon
+         | AND p.lat > r.min_lat AND p.lat < r.max_lat""".stripMargin,
+    "q11_knn" ->
+      s"""SELECT pt_id, poi_id, rank FROM (
+         |  SELECT p.pt_id, r.poi_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.pt_id ORDER BY
+         |      2 * 6371000.0 * ASIN(LEAST(1.0, SQRT(
+         |        SIN(RADIANS(r.poi_lat - p.lat) / 2) * SIN(RADIANS(r.poi_lat - p.lat) / 2) +
+         |        COS(RADIANS(p.lat)) * COS(RADIANS(r.poi_lat)) *
+         |        SIN(RADIANS(r.poi_lon - p.lon) / 2) * SIN(RADIANS(r.poi_lon - p.lon) / 2)))), r.poi_id) AS rank
+         |  FROM (SELECT CAST(round(lon * 1000) AS BIGINT) || '_' || CAST(round(lat * 1000) AS BIGINT) AS pt_id, lon, lat
+         |        FROM (SELECT DISTINCT lon, lat FROM (${EntryFixtures.lineitemPointsSql}))) p
+         |  CROSS JOIN (${EntryFixtures.partPoisSql}) r) t
+         |WHERE rank <= 2""".stripMargin,
+    "q12_zorder_sort" ->
+      s"""WITH pts AS (${EntryFixtures.lineitemPointsSql}),
+         |tiles AS (SELECT ${EntryFixtures.cellSql("lon", "lat", 8)} AS tile FROM pts)
+         |SELECT tile, COUNT(*) AS n FROM tiles GROUP BY 1""".stripMargin,
+    "q13_event_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q14_running_window" ->
+      """SELECT user_id, seq, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |  FROM events) t WHERE seq <= 5""".stripMargin,
+    "q15_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS fingerprint,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin,
+    "d2_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST((length(text) - length(replace(text, '.', ''))) +
+        |       (length(text) - length(replace(text, ',', ''))) +
+        |       (length(text) - length(replace(text, '!', ''))) +
+        |       (length(text) - length(replace(text, '?', ''))) AS BIGINT) AS punct_count,
+        |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 +
+        |       (length(lower(text)) - length(replace(lower(text), ' a ', ''))) / 3 +
+        |       (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 +
+        |       (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT) AS stopword_count
+        |FROM documents""".stripMargin,
+    "d3_langid" -> langIdSql,
+    "d4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint16
+        |FROM documents""".stripMargin,
+    "e1_ann_brute" ->
+      """SELECT q_id, c_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id) t
+        |WHERE rank <= 5""".stripMargin
+  )
+
+  private def langIdSql: String = {
+    def cnt(w: String): String =
+      s"(length(t) - length(replace(t, ' $w ', ''))) / ${w.length + 2}"
+    def score(words: Seq[String]): String = words.map(cnt).mkString(" + ")
+    val en = score(Seq("the", "and", "of", "is", "with"))
+    val de = score(Seq("der", "die", "und", "ist", "mit"))
+    val fr = score(Seq("le", "la", "et", "est", "avec"))
+    s"""SELECT doc_id,
+       |  CAST($en AS BIGINT) AS score_en,
+       |  CAST($de AS BIGINT) AS score_de,
+       |  CAST($fr AS BIGINT) AS score_fr,
+       |  CASE WHEN GREATEST($en, $de, $fr) = 0 THEN 'und'
+       |       WHEN $en >= $de AND $en >= $fr THEN 'en'
+       |       WHEN $de >= $fr THEN 'de'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)""".stripMargin
+  }
 }

@@ -149,13 +149,18 @@ object CellMath {
     x
   }
 
+  /** deg→rad as `x * (π/180)` — the exact evaluation shape of SQL RADIANS()
+    * (java.lang.Math.toRadians computes `x/180*π`, which differs in the
+    * last ulp and would flip near-tie kNN orderings vs a SQL oracle). */
+  @inline private def rad(d: Double): Double = d * (math.Pi / 180.0)
+
   /** Great-circle distance in meters (haversine; C12-adjacent util). */
   def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
     val R = 6371000.0
-    val dLat = math.toRadians(lat2 - lat1)
-    val dLon = math.toRadians(lon2 - lon1)
+    val dLat = rad(lat2 - lat1)
+    val dLon = rad(lon2 - lon1)
     val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
-      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+      math.cos(rad(lat1)) * math.cos(rad(lat2)) *
         math.sin(dLon / 2) * math.sin(dLon / 2)
     2 * R * math.asin(math.min(1.0, math.sqrt(a)))
   }

@@ -89,7 +89,13 @@ object SpatialJoin {
       maxRadius: Int = 8): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-
+    // AQE re-plans every round of the driver loop and (observed on 4.1.2)
+    // can stall in withFinalPlanUpdate on the checkpointed iteration;
+    // these per-round joins are small and fixed-shape, so plan them
+    // statically and restore the setting afterwards.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val diskUdf = udf((cell: Long, r: Int) => CellMath.disk(cell, r))
     val poiCells = pois
       .select(col("poi_id"), col("lon").as("poi_lon"), col("lat").as("poi_lat"))
@@ -102,34 +108,67 @@ object SpatialJoin {
     var active = points
       .select(col("pt_id"), col("lon"), col("lat"))
       .withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
+      .localCheckpoint()
+    var activeCount = active.count()
     var results: DataFrame = null
     var radius = 1
-    while (radius <= maxRadius && !active.isEmpty) {
+    while (radius <= maxRadius && activeCount > 0) {
+      val tRound = System.nanoTime()
       val cand = active
-        .withColumn("probe", explode(diskUdf(col("cell"), lit(radius))))
+        .withColumn("probe", explode(array_distinct(diskUdf(col("cell"), lit(radius)))))
         .join(poiCells.withColumnRenamed("cell", "probe"), Seq("probe"))
+        .dropDuplicates("pt_id", "poi_id") // lon-wrap can alias ring cells
         .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
       val w = Window.partitionBy(col("pt_id")).orderBy(col("dist_m"), col("poi_id"))
+      // localCheckpoint: each round's ranking is materialized once — without
+      // it the lazily-chained rounds re-execute every prior round's join
+      // whenever the final union materializes (memory + time blow-up)
       val ranked = cand
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
-      // guaranteed covered haversine radius of the probed disk: anything
-      // outside the disk is ≥ `radius` whole cells away in lat, or in lon
-      // scaled by cos(lat) — take the conservative min of the two axes.
+        .localCheckpoint()
+      // Retirement guarantee: a POI outside the probed disk is > `radius`
+      // cells away (wrapped-Chebyshev), i.e. EITHER
+      //   (y-escape) its latitude differs by ≥ radius·cellH
+      //     → haversine ≥ radius·cellH·111194.9 m, OR
+      //   (x-escape) its longitude differs by δ ≥ radius·cellW (any lat)
+      //     → haversine ≥ R·asin(cosφ₁·sin(min(δ, 90°))) — the cross-track
+      //     distance from the point to the δ-meridian great circle, which
+      //     lower-bounds the distance to every point beyond it (including
+      //     escapes over the pole, where the arc through the pole is the
+      //     δ=90° limit: asin(cosφ₁) = 90°−|φ₁|).
+      // A point retires when its k-th candidate distance is within
+      // min(bound_y, bound_x). Once the disk spans the whole grid the
+      // candidate set is complete and no bound is needed.
+      val coversAll = radius >= (1 << res)
+      val lonCovered = 2 * radius + 1 >= (1 << res) // x fully wrapped
+      val cellWidthDeg = 360.0 / (1 << res)
+      val degToRad = math.Pi / 180.0
       val stats = ranked.groupBy("pt_id")
         .agg(count(lit(1)).as("n"), max(col("dist_m")).as("dk"),
           first(col("lat")).as("_lat"))
-        .withColumn("safe", (col("n") === k.toLong) &&
-          col("dk") <= (lit(radius) * lit(cellHeightDeg) * lit(metersPerDeg)) *
-            least(lit(1.0), cos(radians(abs(col("_lat")) + lit(radius * cellHeightDeg)))))
-      val safeIds = stats.where(col("safe")).select("pt_id")
+        .withColumn("safe", {
+          if (coversAll) col("n") >= 1L
+          else {
+            val boundY = lit(radius * cellHeightDeg * metersPerDeg)
+            val delta = math.min(90.0, radius * cellWidthDeg) * degToRad
+            val boundX =
+              if (lonCovered) lit(Double.MaxValue)
+              else lit(6371000.0) * asin(cos(abs(col("_lat")) * lit(degToRad)) * lit(math.sin(delta)))
+            (col("n") === k.toLong) && col("dk") <= least(boundY, boundX)
+          }
+        })
+      val safeIds = stats.where(col("safe")).select("pt_id").localCheckpoint()
       val done = ranked.join(safeIds, Seq("pt_id"), "left_semi")
         .select("pt_id", "poi_id", "dist_m", "rank")
       results = if (results == null) done else results.unionByName(done)
-      active = active.join(safeIds, Seq("pt_id"), "left_anti")
+      active = active.join(safeIds, Seq("pt_id"), "left_anti").localCheckpoint()
+      activeCount = active.count()
+      if (sys.env.contains("GRAFT_KNN_VERBOSE"))
+        println(s"[knn] radius=$radius active=$activeCount tookMs=${(System.nanoTime() - tRound) / 1000000}")
       radius *= 2
     }
-    if (!active.isEmpty) {
+    if (activeCount > 0) {
       // exact fallback for stragglers (sparse regions / poles): brute-force
       // against all POIs, but only for the small unresolved remainder.
       val w = Window.partitionBy(col("pt_id")).orderBy(col("dist_m"), col("poi_id"))
@@ -141,7 +180,8 @@ object SpatialJoin {
       results = if (results == null) rest else results.unionByName(rest)
     }
     poiCells.unpersist()
-    results
+    results.localCheckpoint()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Range-partition a cell-keyed DataFrame by Z-order of the cell — the
