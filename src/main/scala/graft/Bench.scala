@@ -1,24 +1,118 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.OsmWorld
+import graft.osmpbf.source.OsmPbf
+import graft.pipeline.GraftJob
+import graft.spatial.geom.Assembly
+import graft.tiles.{ImageTable, Images}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): prints ONE JSON line
+  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}` plus
+  * extra keys:
+  *   - "decode": PBF decode throughput (elements/s — reference SLA analog:
+  *     ≥100k elements/s, end_to_end_integration.rs:20);
+  *   - "scaling": the north-rule two-parallelism evidence — the SAME graft
+  *     job (image parity decode + PIP join + tile aggregation) on the SAME
+  *     input at local[N] and local[4N], throughput at both + efficiency.
+  *
+  * Scaling methodology (BASELINE.md / builder prompt): no real cluster in
+  * the sandbox, so N vs 4N executors is evidenced as local[8] vs local[32]
+  * on one JVM; each session runs one untimed warmup of the job first so
+  * JIT state is comparable.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The scaling job: per-image PNG decode parity + spatial PIP join +
+    * per-tile aggregation — the BASELINE.json metric workload. Returns the
+    * number of image rows processed (throughput numerator). */
+  private def graftJob(spark: SparkSession, images: DataFrame, polys: DataFrame,
+      centers: Seq[(Double, Double)]): Long = {
+    val parityOk = ImageTable.parity(images, centers)
+      .where(col("psnr_db") >= 40.0 && col("caption_ok")).count()
+    val tiles = GraftJob.run(images, polys, z = 10, res = 12, mode = "salted", salt = 8)
+    tiles.agg(sum("n_images")).collect().head.getLong(0)
+    parityOk
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val coresLow = math.max(1, cpus / 4)
+
+    // ---------------- fixture prep (untimed; cached across runs) ----------
+    val prep = session(cpus)
+    val benchWorldNodes = sys.env.getOrElse("GRAFT_BENCH_WORLD_NODES", "3000").toInt
+    val benchImages = sys.env.getOrElse("GRAFT_BENCH_IMAGES", "100000").toLong
+    val (pbfPath, world) = OsmWorld.cachedPbf(
+      sys.props("java.io.tmpdir") + "/graft-fixtures", 42L, 8, benchWorldNodes)
+    val imgPath = sys.props("java.io.tmpdir") + s"/graft-fixtures/bench_images_$benchImages"
+    if (!new java.io.File(s"$imgPath/_SUCCESS").exists())
+      Images.synthesize(prep, benchImages, world.clusterCenters, cpus)
+        .write.mode("overwrite").parquet(imgPath)
+
+    // ---------------- per-query timings at full parallelism ---------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(prep, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // ---------------- PBF decode throughput (reference SLA analog) --------
+    val totalElems = world.nodes.size + world.ways.size + world.relations.size
+    // warm
+    OsmPbf.raw(prep, pbfPath).count()
+    val (_, decodeSec) = time(OsmPbf.raw(prep, pbfPath).count())
+    val decodeRate = totalElems / decodeSec
+    prep.stop()
+
+    // ---------------- scaling: same job, local[N] vs local[4N] ------------
+    def runAt(cores: Int): (Double, Long) = {
+      val s = session(cores)
+      val images = s.read.parquet(imgPath)
+      val nodes = OsmPbf.nodes(s, pbfPath).toDF()
+      val ways = OsmPbf.ways(s, pbfPath).toDF()
+      val rels = OsmPbf.relations(s, pbfPath).toDF()
+      val polys = Assembly.polygons(nodes, ways, rels).localCheckpoint()
+      graftJob(s, images.limit(2000), polys, world.clusterCenters) // warmup (untimed)
+      val (rows, sec) = time(graftJob(s, images, polys, world.clusterCenters))
+      s.stop()
+      (sec, rows)
+    }
+    val (secLow, rowsLow) = runAt(coresLow)
+    val (secHigh, rowsHigh) = runAt(cpus)
+    val thrLow = rowsLow / secLow
+    val thrHigh = rowsHigh / secHigh
+    val efficiency = (thrHigh / thrLow) / (cpus.toDouble / coresLow)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val scaling =
+      s"""{"cores_low":$coresLow,"cores_high":$cpus,""" +
+        s""""rows":$rowsHigh,"sec_low":$secLow,"sec_high":$secHigh,""" +
+        s""""rows_per_s_low":$thrLow,"rows_per_s_high":$thrHigh,""" +
+        s""""efficiency":$efficiency}"""
+    println(
+      s"""{"metric":"graft spatial-join + tile-assignment + parity throughput; per-query wall","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode":{"elements":$totalElems,"sec":$decodeSec,"elements_per_s":$decodeRate},"scaling":$scaling}""")
   }
 }

@@ -1,0 +1,80 @@
+package graft.osmpbf
+
+import graft.SparkTestBase
+import graft.fixtures.OsmWorld
+import graft.osmpbf.source.{OsmAggregators, OsmPbf, OsmPbfSink, OsmStats}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinkStatsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val (pbfPath, world) = OsmWorld.cachedPbf(tmpDir, seed = 42, nClusters = 3, nodesPerCluster = 80)
+
+  test("S8 sink: write partitioned pbf dir, read back identical elements") {
+    val outDir = s"$tmpDir/sinkout"
+    val nodes = OsmPbf.nodes(spark, pbfPath).repartition(3)
+    val ways = OsmPbf.ways(spark, pbfPath).repartition(2)
+    val rels = OsmPbf.relations(spark, pbfPath)
+    OsmPbfSink.write(nodes, ways, rels, outDir)
+    val files = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".pbf"))
+    assert(files.length >= 3)
+    val back = OsmPbf.raw(spark, outDir)
+    val counts = back.groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("node") === world.nodes.size)
+    assert(counts("way") === world.ways.size)
+    assert(counts("relation") === world.relations.size)
+    // tags + coords survive the round trip
+    val got = OsmPbf.nodes(spark, outDir).collect().map(n => n.id -> ((n.lat_nd, n.tags))).toMap
+    world.nodes.take(40).foreach { n =>
+      assert(got(n.id) === ((n.lat_nd, n.tags)), s"node ${n.id}")
+    }
+  }
+
+  test("A3 blob statistics histogram") {
+    val stats = OsmStats.blobStats(spark, pbfPath)
+    val byType = stats.groupBy("blob_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("OSMHeader") === 1)
+    assert(byType("OSMData") >= 1)
+    val sums = stats.agg(sum("node_count"), sum("way_count"), sum("relation_count"))
+      .collect().head
+    assert(sums.getLong(0) === world.nodes.size)
+    assert(sums.getLong(1) === world.ways.size)
+  }
+
+  test("A1 processing stats in one scan") {
+    val r = OsmStats.processingStats(spark, pbfPath).collect().head
+    assert(r.getAs[Long]("elements_processed") ===
+      world.nodes.size + world.ways.size + world.relations.size)
+    assert(r.getAs[Long]("nodes") === world.nodes.size)
+  }
+
+  test("F7 dependency resolution: exactly the way-referenced nodes") {
+    val got = OsmStats.nodesReferencedByWays(spark, pbfPath)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = world.ways.flatMap(_.refs).toSet
+    assert(got === expected)
+  }
+
+  test("A4 par_map_reduce analog: bbox Aggregator partial/final == sequential fold") {
+    import spark.implicits._
+    val pts = OsmPbf.nodes(spark, pbfPath).map(n => (n.lon, n.lat)).repartition(7)
+    val agg = pts.select(OsmAggregators.bboxAgg.toColumn).collect().head
+    // sequential ground truth
+    val seq = world.nodes.foldLeft(OsmAggregators.BBoxAcc(180, 90, -180, -90, 0)) { (b, n) =>
+      OsmAggregators.BBoxAcc(math.min(b.minLon, n.lon), math.min(b.minLat, n.lat),
+        math.max(b.maxLon, n.lon), math.max(b.maxLat, n.lat), b.n + 1)
+    }
+    assert(agg === seq) // parallel ≡ sequential (reader_integration.rs:157 analog)
+  }
+
+  test("checksum Aggregator is partition-count invariant") {
+    import spark.implicits._
+    val data = (1 to 500).map(i => Array.tabulate[Byte](64)(j => ((i * 17 + j * 42) % 256).toByte))
+    val a = spark.createDataset(data).repartition(1).select(OsmAggregators.checksumAgg.toColumn).collect().head
+    val b = spark.createDataset(data).repartition(13).select(OsmAggregators.checksumAgg.toColumn).collect().head
+    assert(a === b)
+    assert(a !== 0L)
+  }
+}
