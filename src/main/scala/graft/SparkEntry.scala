@@ -116,7 +116,7 @@ object SparkEntry {
         .select("lon", "lat").distinct()
         .withColumn("pt_id", concat(round(col("lon") * 1000).cast("long"),
           lit("_"), round(col("lat") * 1000).cast("long")))
-      SpatialJoin.knnJoin(pts, partPois(s, dir), k = 2, res = 5, maxRadius = 32)
+      SpatialJoin.knnJoin(pts, partPois(s, dir), k = 2, res = 7, maxRadius = 8)
         .select(col("pt_id"), col("poi_id"), col("rank"))
     }),
     "q12_zorder_sort" -> ((s, dir) => {

@@ -97,6 +97,7 @@ object SpatialJoin {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
     val diskUdf = udf((cell: Long, r: Int) => CellMath.disk(cell, r))
+    val topkUdaf = udaf(new TopKAgg(k))
     val poiCells = pois
       .select(col("poi_id"), col("lon").as("poi_lon"), col("lat").as("poi_lat"))
       .withColumn("cell", F.cell_of(col("poi_lon"), col("poi_lat"), res))
@@ -117,15 +118,17 @@ object SpatialJoin {
       val cand = active
         .withColumn("probe", explode(array_distinct(diskUdf(col("cell"), lit(radius)))))
         .join(poiCells.withColumnRenamed("cell", "probe"), Seq("probe"))
-        .dropDuplicates("pt_id", "poi_id") // lon-wrap can alias ring cells
         .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
-      val w = Window.partitionBy(col("pt_id")).orderBy(col("dist_m"), col("poi_id"))
-      // localCheckpoint: each round's ranking is materialized once — without
-      // it the lazily-chained rounds re-execute every prior round's join
-      // whenever the final union materializes (memory + time blow-up)
-      val ranked = cand
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
+      // Bounded top-k aggregate instead of a window rank: partial
+      // aggregation keeps ≤ k candidates per point map-side, so the shuffle
+      // carries O(k·points) rows, not every candidate (TopKAgg scaladoc).
+      // The aggregator also dedups poi ids (lon-wrap can alias disk cells).
+      // localCheckpoint: each round materializes once — without it the
+      // lazily-chained rounds re-execute every prior round's join whenever
+      // the final union materializes (memory + time blow-up).
+      val grouped = cand.groupBy("pt_id")
+        .agg(topkUdaf(col("dist_m"), col("poi_id")).as("topk"),
+          first(col("lat")).as("_lat"))
         .localCheckpoint()
       // Retirement guarantee: a POI outside the probed disk is > `radius`
       // cells away (wrapped-Chebyshev), i.e. EITHER
@@ -144,9 +147,9 @@ object SpatialJoin {
       val lonCovered = 2 * radius + 1 >= (1 << res) // x fully wrapped
       val cellWidthDeg = 360.0 / (1 << res)
       val degToRad = math.Pi / 180.0
-      val stats = ranked.groupBy("pt_id")
-        .agg(count(lit(1)).as("n"), max(col("dist_m")).as("dk"),
-          first(col("lat")).as("_lat"))
+      val stats = grouped
+        .withColumn("n", size(col("topk")).cast("long"))
+        .withColumn("dk", element_at(col("topk"), -1).getField("dist"))
         .withColumn("safe", {
           if (coversAll) col("n") >= 1L
           else {
@@ -158,9 +161,11 @@ object SpatialJoin {
             (col("n") === k.toLong) && col("dk") <= least(boundY, boundX)
           }
         })
-      val safeIds = stats.where(col("safe")).select("pt_id").localCheckpoint()
-      val done = ranked.join(safeIds, Seq("pt_id"), "left_semi")
-        .select("pt_id", "poi_id", "dist_m", "rank")
+      val safeIds = stats.where(col("safe")).select("pt_id")
+      val done = stats.where(col("safe"))
+        .select(col("pt_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+        .select(col("pt_id"), col("c.id").as("poi_id"), col("c.dist").as("dist_m"),
+          (col("pos") + 1).cast("int").as("rank"))
       results = if (results == null) done else results.unionByName(done)
       active = active.join(safeIds, Seq("pt_id"), "left_anti").localCheckpoint()
       activeCount = active.count()
@@ -171,12 +176,13 @@ object SpatialJoin {
     if (activeCount > 0) {
       // exact fallback for stragglers (sparse regions / poles): brute-force
       // against all POIs, but only for the small unresolved remainder.
-      val w = Window.partitionBy(col("pt_id")).orderBy(col("dist_m"), col("poi_id"))
       val rest = active.crossJoin(poiCells.drop("cell"))
         .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("pt_id", "poi_id", "dist_m", "rank")
+        .groupBy("pt_id")
+        .agg(topkUdaf(col("dist_m"), col("poi_id")).as("topk"))
+        .select(col("pt_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+        .select(col("pt_id"), col("c.id").as("poi_id"), col("c.dist").as("dist_m"),
+          (col("pos") + 1).cast("int").as("rank"))
       results = if (results == null) rest else results.unionByName(rest)
     }
     poiCells.unpersist()

@@ -1,0 +1,50 @@
+package graft.spatial.join
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k-by-distance aggregate for kNN ranking.
+  *
+  * The naive plan (`row_number() OVER (PARTITION BY pt ORDER BY dist)`)
+  * shuffles EVERY candidate row to sort them — at 100 TB that is the
+  * dominant cost (observed locally: 75M candidate rows shuffled to keep
+  * k=2 per point). As an `Aggregator`, Catalyst runs `reduce` map-side, so
+  * each partition forwards at most k rows per point into the shuffle —
+  * the partial/final split the reference's par_map_reduce contract
+  * describes (reader.rs:264-302).
+  *
+  * Buffer is a distance-sorted Seq of ≤ k (dist, id) pairs; duplicate ids
+  * are dropped (cell-disk probes can alias at the antimeridian). Ties
+  * break by id, matching the window-based oracle.
+  */
+final case class KnnCand(dist: Double, id: Long)
+
+class TopKAgg(k: Int) extends Aggregator[KnnCand, Seq[KnnCand], Seq[KnnCand]] {
+  override def zero: Seq[KnnCand] = Vector.empty
+
+  private def insert(buf: Seq[KnnCand], c: KnnCand): Seq[KnnCand] = {
+    // O(1) reject for the common case: buffer full and candidate sorts
+    // after the current k-th — no allocation on the hot path
+    if (buf.size == k) {
+      val last = buf.last
+      if (c.dist > last.dist || (c.dist == last.dist && c.id >= last.id)) return buf
+    }
+    if (buf.exists(_.id == c.id)) buf
+    else {
+      val merged = (buf :+ c).sortBy(x => (x.dist, x.id))
+      if (merged.size > k) merged.take(k) else merged
+    }
+  }
+
+  override def reduce(buf: Seq[KnnCand], c: KnnCand): Seq[KnnCand] = insert(buf, c)
+
+  override def merge(a: Seq[KnnCand], b: Seq[KnnCand]): Seq[KnnCand] =
+    b.foldLeft(a)(insert)
+
+  override def finish(r: Seq[KnnCand]): Seq[KnnCand] = r
+
+  override def bufferEncoder: Encoder[Seq[KnnCand]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KnnCand]]()
+  override def outputEncoder: Encoder[Seq[KnnCand]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KnnCand]]()
+}
