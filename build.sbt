@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // preallocate the heap: heap-growth pauses otherwise dominate the first
+  // timed iteration of CPU benchmarks and poison scaling measurements
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch", // page-zeroing at JVM start, not mid-benchmark
+  "-XX:+UseParallelGC",  // batch throughput > pause time for this workload
 )

@@ -65,11 +65,15 @@ object ImageTable {
       val decoded = Images.decode(r.getAs[Array[Byte]](1))
       val expected = Images.synthPixels(r.getInt(2), r.getInt(3), idx)
       val p = Images.psnr(decoded, expected)
-      val expectedRow = Images.synthRow(idx, centersB.value)
+      // caption/phash ground truth derived without re-encoding a PNG —
+      // the deflate alloc per row would double the job's garbage for no
+      // extra verification power
+      val (lon, lat) = Images.position(idx, centersB.value)
+      val expectedCaption = f"caption for img_$idx%09d tile ${lon.toInt}_${lat.toInt}"
       (imageId,
         if (p.isInfinity) 1e9 else p,
-        r.getString(4) == expectedRow.caption,
-        r.getLong(5) == expectedRow.phash)
+        r.getString(4) == expectedCaption,
+        r.getLong(5) == Images.aHash(expected))
     }.toDF("image_id", "psnr_db", "caption_ok", "phash_ok")
   }
 }

@@ -1,29 +1,25 @@
 package graft.tiles
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
-import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.ImageIO
 
 /** Deterministic image+caption table (BASELINE.json input_hint schema:
   * image_id, bytes, w, h, fmt, caption, phash) — FIXTURES.md §C.
   *
   * Pixel formula: `pixel(x,y) channel c = (x*31 + y*17 + idx*7 + c*13) % 256`,
-  * PNG-encoded (lossless, so the PSNR≥40dB parity gate is exact pixel
-  * equality; SURVEY.md §7.4 risk 4). Every image gets a deterministic
-  * lon/lat derived from its index, biased toward OsmWorld cluster centers
-  * so the point side of PIP/kNN joins has the hot-cell skew the north rule
-  * demands. phash = 64-bit average-hash of the 8×8 grayscale downsample.
+  * PNG-encoded via the lock-free Png codec (lossless, so the PSNR≥40dB
+  * parity gate is exact pixel equality; SURVEY.md §7.4 risk 4). Every image
+  * gets a deterministic lon/lat derived from its index, biased toward
+  * OsmWorld cluster centers so the point side of PIP/kNN joins has the
+  * hot-cell skew the north rule demands. phash = 64-bit average-hash of the
+  * 8×8 box-downsampled grayscale.
   */
 object Images {
 
   def pixelValue(x: Int, y: Int, idx: Long, channel: Int): Int =
     (((x * 31 + y * 17 + channel * 13).toLong + idx * 7) % 256).toInt.abs
 
-  def synthPixels(w: Int, h: Int, idx: Long): BufferedImage = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+  def synthPixels(w: Int, h: Int, idx: Long): Img = {
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -31,45 +27,60 @@ object Images {
         val r = pixelValue(x, y, idx, 0)
         val g = pixelValue(x, y, idx, 1)
         val b = pixelValue(x, y, idx, 2)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
-    img
+    Img(w, h, px)
   }
 
-  def encodePng(img: BufferedImage): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+  def encodePng(img: Img): Array[Byte] = Png.encode(img)
+
+  /** Decode image bytes: our codec for PNG, javax.imageio fallback for any
+    * other format (note: ImageIO serializes at high thread counts — fine
+    * for the rare fallback, never for the hot path). */
+  def decode(bytes: Array[Byte]): Img = {
+    if (Png.isPng(bytes)) Png.decode(bytes)
+    else {
+      val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val px = new Array[Int](b.getWidth * b.getHeight)
+      b.getRGB(0, 0, b.getWidth, b.getHeight, px, 0, b.getWidth)
+      Img(b.getWidth, b.getHeight, px.map(_ & 0xffffff))
+    }
   }
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
-
-  /** 64-bit average hash: 8×8 grayscale downsample, bit i set iff
-    * pixel_i > mean. */
-  def aHash(img: BufferedImage): Long = {
-    val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
-    val g2 = small.createGraphics()
-    g2.drawImage(img, 0, 0, 8, 8, null)
-    g2.dispose()
-    val gray = new Array[Int](64)
-    var sum = 0L
+  /** 64-bit average hash: 8×8 integer box-downsample of the grayscale,
+    * bit i set iff cell mean > global mean. */
+  def aHash(img: Img): Long = {
+    val cells = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < img.h) {
+      val cy = math.min(7, y * 8 / img.h)
+      var x = 0
+      while (x < img.w) {
+        val cx = math.min(7, x * 8 / img.w)
+        val p = img.rgb(x, y)
+        val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        cells(cy * 8 + cx) += gray
+        counts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
     var i = 0
     while (i < 64) {
-      val rgb = small.getRGB(i % 8, i / 8)
-      val v = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-      gray(i) = v
-      sum += v
+      cells(i) = if (counts(i) > 0) cells(i) / counts(i) else 0L
+      total += cells(i)
       i += 1
     }
-    val mean = sum / 64
+    val mean = total / 64
     var hash = 0L
     i = 0
     while (i < 64) {
-      if (gray(i) > mean) hash |= (1L << i)
+      if (cells(i) > mean) hash |= (1L << i)
       i += 1
     }
     hash
@@ -77,32 +88,64 @@ object Images {
 
   /** PSNR between two images in dB; Double.PositiveInfinity when identical.
     * The input_hint parity gate: PSNR ≥ 40 dB (lossy) / exact (lossless). */
-  def psnr(a: BufferedImage, b: BufferedImage): Double = {
-    require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "size mismatch")
+  def psnr(a: Img, b: Img): Double = {
+    require(a.w == b.w && a.h == b.h, "size mismatch")
     var se = 0.0
+    var i = 0
+    val n = a.px.length
+    while (i < n) {
+      val pa = a.px(i)
+      val pb = b.px(i)
+      var c = 0
+      while (c < 3) {
+        val d = (((pa >> (8 * c)) & 0xff) - ((pb >> (8 * c)) & 0xff)).toDouble
+        se += d * d
+        c += 1
+      }
+      i += 1
+    }
+    val mse = se / (n.toLong * 3)
+    if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** Bilinear resize (lock-free; Multimodal's real image op). */
+  def resize(img: Img, tw: Int, th: Int): Img = {
+    val out = new Array[Int](tw * th)
     var y = 0
-    while (y < a.getHeight) {
+    while (y < th) {
+      val sy = (y + 0.5) * img.h / th - 0.5
+      val y0 = math.max(0, math.min(img.h - 1, sy.toInt))
+      val y1 = math.min(img.h - 1, y0 + 1)
+      val fy = sy - y0
       var x = 0
-      while (x < a.getWidth) {
-        val pa = a.getRGB(x, y)
-        val pb = b.getRGB(x, y)
+      while (x < tw) {
+        val sx = (x + 0.5) * img.w / tw - 0.5
+        val x0 = math.max(0, math.min(img.w - 1, sx.toInt))
+        val x1 = math.min(img.w - 1, x0 + 1)
+        val fx = sx - x0
+        var outPx = 0
         var c = 0
         while (c < 3) {
-          val d = (((pa >> (8 * c)) & 0xff) - ((pb >> (8 * c)) & 0xff)).toDouble
-          se += d * d
+          val sh = 8 * c
+          val p00 = (img.rgb(x0, y0) >> sh) & 0xff
+          val p10 = (img.rgb(x1, y0) >> sh) & 0xff
+          val p01 = (img.rgb(x0, y1) >> sh) & 0xff
+          val p11 = (img.rgb(x1, y1) >> sh) & 0xff
+          val v = ((p00 * (1 - fx) + p10 * fx) * (1 - fy) +
+            (p01 * (1 - fx) + p11 * fx) * fy).toInt
+          outPx |= (math.max(0, math.min(255, v)) << sh)
           c += 1
         }
+        out(y * tw + x) = outPx
         x += 1
       }
       y += 1
     }
-    val mse = se / (a.getWidth.toLong * a.getHeight * 3)
-    if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
+    Img(tw, th, out)
   }
 
   /** Deterministic geo-position for image `idx`: biased to cluster centers
-    * (80% clustered with gaussian-ish jitter, 20% uniform background). The
-    * same arithmetic is reproducible in plain SQL for the oracle. */
+    * (80% clustered with jitter, 20% uniform background). */
   def position(idx: Long, centers: Seq[(Double, Double)]): (Double, Double) = {
     val h = idx * 2654435761L % 1000003L
     if (h % 5 < 4 && centers.nonEmpty) {

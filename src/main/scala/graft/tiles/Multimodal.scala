@@ -3,15 +3,13 @@ package graft.tiles
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import java.awt.image.BufferedImage
-
 /** Multimodal column operators over opaque binary payloads + typed
   * metadata (builder prompt: treat image/audio/video as binary columns;
   * implement decode / feature-extract / resize / frame-sample with real
   * Spark-side plumbing).
   *
-  * Image decode/resize/feature-extract are REAL (javax.imageio ships with
-  * the JDK). Audio/video decode has no codec available offline, so
+  * Image decode/resize/feature-extract are REAL (the lock-free Png codec,
+  * with a javax.imageio fallback for foreign formats). Audio/video decode has no codec available offline, so
   * `audioFeatures` / `videoFrameSample` run a clearly-marked deterministic
   * fake decoder over the bytes — the schema, partitioning, batch shape and
   * per-partition execution are the production plumbing; only the inner
@@ -32,11 +30,11 @@ object Multimodal {
       var grad = 0.0
       var n = 0L
       var y = 0
-      while (y < img.getHeight) {
+      while (y < img.h) {
         var x = 0
         var prev = 0.0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
+        while (x < img.w) {
+          val rgb = img.rgb(x, y)
           val l = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
           lum += l
           if (x > 0) grad += math.abs(l - prev)
@@ -46,24 +44,19 @@ object Multimodal {
         }
         y += 1
       }
-      (r.getString(0), img.getWidth, img.getHeight,
-        img.getWidth == r.getInt(2) && img.getHeight == r.getInt(3),
-        lum / n, if (n > img.getHeight) grad / (n - img.getHeight) else 0.0)
+      (r.getString(0), img.w, img.h,
+        img.w == r.getInt(2) && img.h == r.getInt(3),
+        lum / n, if (n > img.h) grad / (n - img.h) else 0.0)
     }.toDF("image_id", "decoded_w", "decoded_h", "dims_ok", "mean_luma", "mean_grad")
   }
 
-  /** Real resize (bilinear via Graphics2D), re-encoded PNG. */
+  /** Real resize (bilinear), re-encoded PNG. */
   def resize(images: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     images.select("image_id", "bytes").map { r =>
       val img = Images.decode(r.getAs[Array[Byte]](1))
-      val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, targetW, targetH, null)
-      g.dispose()
+      val out = Images.resize(img, targetW, targetH)
       (r.getString(0), Images.encodePng(out), targetW, targetH, "png")
     }.toDF("image_id", "bytes", "w", "h", "fmt")
   }

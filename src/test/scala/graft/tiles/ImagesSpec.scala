@@ -31,8 +31,7 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     val img = Images.synthPixels(32, 32, 5L)
     val noisy = Images.synthPixels(32, 32, 5L)
     // flip one channel of one pixel by 4 → PSNR high but finite
-    val rgb = noisy.getRGB(0, 0)
-    noisy.setRGB(0, 0, rgb ^ 0x04)
+    noisy.px(0) = noisy.px(0) ^ 0x04
     val p = Images.psnr(img, noisy)
     assert(p > 40.0 && !p.isInfinity)
     // heavy corruption → low PSNR

@@ -24,7 +24,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   test("resize produces decodable images at target dims") {
     val r = Multimodal.resize(images, 8, 8)
     val decoded = r.select("bytes").collect().map(row => Images.decode(row.getAs[Array[Byte]](0)))
-    assert(decoded.forall(img => img.getWidth == 8 && img.getHeight == 8))
+    assert(decoded.forall(img => img.w == 8 && img.h == 8))
   }
 
   test("audio features (stub decode): fixed shape, deterministic") {
