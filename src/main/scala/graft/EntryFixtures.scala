@@ -69,15 +69,15 @@ object EntryFixtures {
   /** Deterministic, SQL-reproducible point derivation from lineitem. */
   def lineitemPoints(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")
-      .withColumn("lon", (col("l_partkey") % 3600).cast("double") / 10.0 - 180.0 +
+      .withColumn("lon", (col("l_partkey") * 17 % 3600).cast("double") / 10.0 - 180.0 +
         col("l_linenumber").cast("double") / 1000.0)
-      .withColumn("lat", (col("l_suppkey") * 7 % 1600).cast("double") / 10.0 - 80.0 +
+      .withColumn("lat", (col("l_suppkey") * 161 % 1600).cast("double") / 10.0 - 80.0 +
         (col("l_orderkey") % 100).cast("double") / 1000.0)
 
   val lineitemPointsSql: String =
     """SELECT l.*,
-      |  (l_partkey % 3600) / 10.0 - 180.0 + l_linenumber / 1000.0 AS lon,
-      |  (l_suppkey * 7 % 1600) / 10.0 - 80.0 + (l_orderkey % 100) / 1000.0 AS lat
+      |  (l_partkey * 17 % 3600) / 10.0 - 180.0 + l_linenumber / 1000.0 AS lon,
+      |  (l_suppkey * 161 % 1600) / 10.0 - 80.0 + (l_orderkey % 100) / 1000.0 AS lat
       |FROM lineitem l""".stripMargin
 
   /** POI derivation from part (used by the kNN oracle). */

@@ -222,6 +222,35 @@ object SparkEntry {
       Ann.nearDuplicatePairs(planted, threshold = 0.999)
         .select("a_id", "b_id")
     }),
+    "q16_bbox_aggregator" -> ((s, dir) => {
+      // typed Aggregator (A4 par_map_reduce analog): one-pass bbox fold
+      import s.implicits._
+      lineitemPoints(s, dir).select("lon", "lat").as[(Double, Double)]
+        .select(graft.osmpbf.source.OsmAggregators.bboxAgg.toColumn)
+        .select(col("minLon").as("min_lon"), col("minLat").as("min_lat"),
+          col("maxLon").as("max_lon"), col("maxLat").as("max_lat"), col("n"))
+    }),
+    // -------------------------------------------------- multimodal columns
+    "m1_image_features" -> ((s, dir) => {
+      graft.tiles.Multimodal.imageFeatures(images(s, dir).limit(2000))
+        .select("image_id", "decoded_w", "decoded_h", "dims_ok")
+    }),
+    "m2_image_resize" -> ((s, dir) => {
+      graft.tiles.Multimodal.resize(images(s, dir).limit(500), 8, 8)
+        .select(col("image_id"), length(col("bytes")).as("png_len"), col("w"), col("h"))
+    }),
+    "m3_audio_features_stub" -> ((s, dir) => {
+      val media = images(s, dir).limit(1000)
+        .select(col("image_id").as("media_id"), col("bytes"))
+      graft.tiles.Multimodal.audioFeatures(media, windows = 8)
+        .select(col("media_id"), col("zero_crossings"))
+    }),
+    "m4_video_frames_stub" -> ((s, dir) => {
+      val media = images(s, dir).limit(1000)
+        .select(col("image_id").as("media_id"), col("bytes"))
+      graft.tiles.Multimodal.videoFrameSample(media, everyK = 20, frames = 100)
+        .select(col("media_id"), size(col("frame_idx")).as("n_frames"))
+    }),
     // ------------------------------------------------- PBF / graft native
     "p1_pbf_counts" -> ((s, dir) => {
       val (path, _) = world(dir)
@@ -248,6 +277,15 @@ object SparkEntry {
     }),
     "p6_graft_tiles" -> ((s, dir) => {
       GraftJob.run(images(s, dir), polygons(s, dir), z = 10, res = 12)
+    }),
+    "p8_blob_stats" -> ((s, dir) => {
+      val (path, _) = world(dir)
+      graft.osmpbf.source.OsmStats.blobStats(s, path)
+        .select("blob_type", "data_size", "node_count", "way_count", "relation_count")
+    }),
+    "p9_way_node_deps" -> ((s, dir) => {
+      val (path, _) = world(dir)
+      graft.osmpbf.source.OsmStats.nodesReferencedByWays(s, path).select("id", "lat_nd", "lon_nd")
     }),
     "p7_image_parity" -> ((s, dir) => {
       val (_, w) = world(dir)
@@ -367,6 +405,10 @@ object SparkEntry {
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint16
         |FROM documents""".stripMargin,
+    "q16_bbox_aggregator" ->
+      s"""SELECT MIN(lon) AS min_lon, MIN(lat) AS min_lat,
+         |  MAX(lon) AS max_lon, MAX(lat) AS max_lat, COUNT(*) AS n
+         |FROM (${EntryFixtures.lineitemPointsSql})""".stripMargin,
     "e1_ann_brute" ->
       """SELECT q_id, c_id, rank FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,

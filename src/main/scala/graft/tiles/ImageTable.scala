@@ -63,17 +63,17 @@ object ImageTable {
       val imageId = r.getString(0)
       val idx = imageId.stripPrefix("img_").toLong
       val decoded = Images.decode(r.getAs[Array[Byte]](1))
-      val expected = Images.synthPixels(r.getInt(2), r.getInt(3), idx)
-      val p = Images.psnr(decoded, expected)
-      // caption/phash ground truth derived without re-encoding a PNG —
-      // the deflate alloc per row would double the job's garbage for no
-      // extra verification power
+      // compare decoded pixels directly against the generator formula and
+      // hash the decoded raster — no second image or PNG re-encode is
+      // materialized (GC pause time is the serial term that caps scaling)
+      val p = if (decoded.w == r.getInt(2) && decoded.h == r.getInt(3))
+        Images.psnrVsSynth(decoded, idx) else 0.0
       val (lon, lat) = Images.position(idx, centersB.value)
       val expectedCaption = f"caption for img_$idx%09d tile ${lon.toInt}_${lat.toInt}"
       (imageId,
         if (p.isInfinity) 1e9 else p,
         r.getString(4) == expectedCaption,
-        r.getLong(5) == Images.aHash(expected))
+        r.getLong(5) == Images.aHash(decoded))
     }.toDF("image_id", "psnr_db", "caption_ok", "phash_ok")
   }
 }

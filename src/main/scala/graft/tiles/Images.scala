@@ -86,6 +86,30 @@ object Images {
     hash
   }
 
+  /** PSNR of a decoded image against the deterministic generator formula —
+    * allocation-free (no second image materialized): the hot path of the
+    * parity gate at benchmark scale. */
+  def psnrVsSynth(img: Img, idx: Long): Double = {
+    var se = 0.0
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        val p = img.rgb(x, y)
+        var c = 0
+        while (c < 3) {
+          val d = (((p >> (8 * (2 - c))) & 0xff) - pixelValue(x, y, idx, c)).toDouble
+          se += d * d
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val mse = se / (img.px.length.toLong * 3)
+    if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
   /** PSNR between two images in dB; Double.PositiveInfinity when identical.
     * The input_hint parity gate: PSNR ≥ 40 dB (lossy) / exact (lossless). */
   def psnr(a: Img, b: Img): Double = {
