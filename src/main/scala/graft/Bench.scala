@@ -56,10 +56,14 @@ object Bench {
     * number of image rows processed (throughput numerator). */
   private def graftJob(spark: SparkSession, images: DataFrame, polys: DataFrame,
       centers: Seq[(Double, Double)]): Long = {
+    val t0 = System.nanoTime()
     val parityOk = ImageTable.parity(images, centers)
       .where(col("psnr_db") >= 40.0 && col("caption_ok")).count()
+    val t1 = System.nanoTime()
     val tiles = GraftJob.run(images, polys, z = 10, res = 12, mode = "salted", salt = 8)
     tiles.agg(sum("n_images")).collect().head.getLong(0)
+    val t2 = System.nanoTime()
+    System.err.println(f"[bench] parity=${(t1 - t0) / 1e9}%.2fs tiles=${(t2 - t1) / 1e9}%.2fs")
     parityOk
   }
 
@@ -106,15 +110,17 @@ object Bench {
       val ways = OsmPbf.ways(s, pbfPath).toDF()
       val rels = OsmPbf.relations(s, pbfPath).toDF()
       val polys = Assembly.polygons(nodes, ways, rels).localCheckpoint()
-      // full-size untimed warmup (JIT + page cache), then the best of two
-      // timed steady-state iterations — standard CPU-benchmark hygiene
+      // full-size untimed warmup (JIT + page cache), then the MEDIAN of
+      // three timed steady-state iterations (median, not best-of: best-of
+      // selection biases the reported efficiency — round-1 ADVICE)
       graftJob(s, images, polys, world.clusterCenters)
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val (rows, sec) = time(graftJob(s, images, polys, world.clusterCenters))
         (sec, rows)
-      }
+      }.sortBy(_._1)
       s.stop()
-      runs.minBy(_._1)
+      System.gc() // start the next parallelism level from a clean heap
+      runs(runs.size / 2)
     }
     val (secLow, rowsLow) = runAt(coresLow)
     val (secHigh, rowsHigh) = runAt(coresHigh)
@@ -132,7 +138,14 @@ object Bench {
         s""""rows_per_s_low":$thrLow,"rows_per_s_high":$thrHigh,""" +
         s""""efficiency":$efficiency,""" +
         s""""cores_max":$cpus,"sec_max":$secMax,"rows_per_s_max":$thrMax}"""
-    println(
-      s"""{"metric":"graft spatial-join + tile-assignment + parity throughput; per-query wall","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode":{"elements":$totalElems,"sec":$decodeSec,"elements_per_s":$decodeRate},"scaling":$scaling}""")
+    val json =
+      s"""{"metric":"graft spatial-join + tile-assignment + parity throughput; per-query wall","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode":{"elements":$totalElems,"sec":$decodeSec,"elements_per_s":$decodeRate},"scaling":$scaling}"""
+    // stdout line for the driver, plus a file copy so round-over-round
+    // comparison survives any log pollution (round-1 BENCH_r01.json had
+    // "parsed": null because sbt prefixed the line with "[info] ")
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
   }
 }

@@ -105,22 +105,60 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH blocking +
-    * exact verification (the embedding-cosine near-dup of the prompt). */
+    * exact verification (the embedding-cosine near-dup of the prompt).
+    *
+    * Scale shape (round-1 fix, mirroring Dedup.minhashLsh): byte-identical
+    * vectors — which share every bucket and pair with everything in their
+    * cluster — are collapsed to one representative before the self-join and
+    * expanded back afterwards, so an m-document identical cluster costs m
+    * rows, not m²/2 candidates. Buckets still above `maxBucketSize` are
+    * split into ~cap-sized sub-buckets by secondary id hash (count guard):
+    * bounded work, pairs across sub-splits only found via other tables. */
   def nearDuplicatePairs(corpus: DataFrame, threshold: Double = 0.95,
-      nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+      nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
+      maxBucketSize: Int = 100000, expandExactGroups: Boolean = true): DataFrame = {
     val bucketUdf = udf((vec: Seq[Float], table: Int) =>
       lshBucket(vec, nPlanes, seed + table * 7919L))
     val tables = (0 until nTables).map(lit(_))
-    val b = corpus.withColumn("table", explode(array(tables: _*)))
-      .withColumn("bucket", bucketUdf(col("c_vec"), col("table")))
-    b.as("a").join(b.as("b"),
+    val base = corpus.select(col("c_id").as("_id"), col("c_vec").as("_vec"))
+    val wVec = Window.partitionBy("_vec")
+    val withRep = base.withColumn("_rep", min(col("_id")).over(wVec))
+    val reps = withRep.where(col("_id") === col("_rep")).select(col("_id"), col("_vec"))
+    val banded = reps.withColumn("table", explode(array(tables: _*)))
+      .withColumn("bucket", bucketUdf(col("_vec"), col("table")))
+    val wB = Window.partitionBy("table", "bucket")
+    val guarded = banded
+      .withColumn("_bsz", count(lit(1)).over(wB))
+      .withColumn("_sub",
+        when(col("_bsz") > maxBucketSize,
+          pmod(xxhash64(col("_id")), ceil(col("_bsz") / maxBucketSize).cast("long")))
+          .otherwise(lit(0L)))
+      .drop("_bsz")
+    val repPairs = guarded.as("a").join(guarded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-          col("a.c_id") < col("b.c_id"))
-      .select(col("a.c_id").as("a_id"), col("b.c_id").as("b_id"),
-        col("a.c_vec").as("va"), col("b.c_vec").as("vb"))
+          col("a._sub") === col("b._sub") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
+        col("a._vec").as("va"), col("b._vec").as("vb"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .where(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
+    if (!expandExactGroups) repPairs
+    else {
+      // intra-cluster pairs: identical vectors, cosine computed through the
+      // same expression (bit-identical values to the un-collapsed plan)
+      val intra = withRep.as("x").join(withRep.as("y"),
+          col("x._vec") === col("y._vec") && col("x._id") < col("y._id"))
+        .withColumn("cos_sim", cosine(col("x._vec"), col("y._vec")))
+        .where(col("cos_sim") >= threshold)
+        .select(col("x._id").as("a_id"), col("y._id").as("b_id"), col("cos_sim"))
+      val mem = withRep.select(col("_rep"), col("_id"))
+      val cross = repPairs
+        .join(mem.withColumnRenamed("_rep", "a_id").withColumnRenamed("_id", "_ma"), "a_id")
+        .join(mem.withColumnRenamed("_rep", "b_id").withColumnRenamed("_id", "_mb"), "b_id")
+        .select(least(col("_ma"), col("_mb")).as("a_id"),
+          greatest(col("_ma"), col("_mb")).as("b_id"), col("cos_sim"))
+      intra.unionByName(cross)
+    }
   }
 }

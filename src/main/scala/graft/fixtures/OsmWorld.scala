@@ -121,7 +121,7 @@ object OsmWorld {
   def writePbf(path: String, world: World, granularity: Long = 100L,
       latOffset: Long = 0L, lonOffset: Long = 0L, compress: Boolean = true,
       dense: Boolean = true, elementsPerBlock: Int = 4000): World = {
-    val w = new PbfWriter(path, granularity = granularity, latOffset = latOffset,
+    val w = PbfWriter(path, granularity = granularity, latOffset = latOffset,
       lonOffset = lonOffset, compress = compress, dense = dense,
       elementsPerBlock = elementsPerBlock)
     val allLat = world.nodes.map(_.lat_nd)

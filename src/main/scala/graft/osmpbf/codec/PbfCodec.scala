@@ -87,6 +87,7 @@ object PbfCodec {
     var rawSize = -1
     var zlibFrom = -1
     var zlibLen = -1
+    var unsupportedCodec: String = null
     var t = r.readTag()
     while (t != 0) {
       (t >> 3) match {
@@ -94,6 +95,13 @@ object PbfCodec {
         case 2 => rawSize = r.readVarint().toInt
         case 3 =>
           val (s, e) = r.readLenRange(); zlibFrom = s; zlibLen = e - s
+        // declared by the spec / reference (blob.rs:114-133) "for future
+        // use" — name the codec in the error instead of a generic parse
+        // failure, so operators know WHAT to transcode
+        case 4 => unsupportedCodec = "lzma"; r.skip(t & 7)
+        case 5 => unsupportedCodec = "bzip2 (obsolete per OSMPBF spec)"; r.skip(t & 7)
+        case 6 => unsupportedCodec = "lz4"; r.skip(t & 7)
+        case 7 => unsupportedCodec = "zstd"; r.skip(t & 7)
         case _ => r.skip(t & 7)
       }
       t = r.readTag()
@@ -104,6 +112,9 @@ object PbfCodec {
       raw
     } else if (zlibFrom >= 0) {
       inflate(buf, zlibFrom, zlibLen, if (rawSize >= 0) rawSize else MaxMessageSize)
+    } else if (unsupportedCodec != null) {
+      throw new PbfParseException(
+        s"unsupported blob codec: $unsupportedCodec (this build decodes raw and zlib)")
     } else throw new PbfParseException("Blob has neither raw nor zlib_data")
   }
 
@@ -478,17 +489,24 @@ object PbfCodec {
     ctx.handler.onRelation(id, memids.toArray, roleArr, typeArr, tk, tv, info)
   }
 
+  /** ChangeSet carries id + keys/vals like the other elements
+    * (changeset.rs:5-20) — round 1 parsed only the id and dropped tags. */
   private def decodeChangeSet(ctx: BlockCtx, s: Int, e: Int): Unit = {
     val r = new ProtoReader(ctx.buf, s, e)
     var id = 0L
+    val keys = new LongBuf(4)
+    val vals = new LongBuf(4)
     var t = r.readTag()
     while (t != 0) {
       (t >> 3) match {
         case 1 => id = r.readVarint()
+        case 2 => r.readPackedVarints(t & 7, keys)
+        case 3 => r.readPackedVarints(t & 7, vals)
         case _ => r.skip(t & 7)
       }
       t = r.readTag()
     }
-    ctx.handler.onChangeSet(id, EmptyStrings, EmptyStrings)
+    val (tk, tv) = resolveTags(ctx, keys, vals)
+    ctx.handler.onChangeSet(id, tk, tv)
   }
 }

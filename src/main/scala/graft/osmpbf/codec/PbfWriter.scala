@@ -20,7 +20,7 @@ import scala.collection.mutable
   * divisibility (fixture generators control their grid accordingly).
   */
 final class PbfWriter(
-    path: String,
+    sink: java.io.OutputStream,
     granularity: Long = 100L,
     latOffset: Long = 0L,
     lonOffset: Long = 0L,
@@ -29,7 +29,7 @@ final class PbfWriter(
     dense: Boolean = true,
     elementsPerBlock: Int = 8000) {
 
-  private val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+  private val out = new DataOutputStream(sink)
   private val nodes = mutable.ArrayBuffer.empty[OsmNode]
   private val ways = mutable.ArrayBuffer.empty[OsmWay]
   private val relations = mutable.ArrayBuffer.empty[OsmRelation]
@@ -75,6 +75,11 @@ final class PbfWriter(
   // ----------------------------------------------------------------- block
   private def flushBlock(): Unit = {
     if (nodes.isEmpty && ways.isEmpty && relations.isEmpty && changesets.isEmpty) return
+    // the OSMHeader frame must precede any OSMData frame (external OSM
+    // readers require HeaderBlock-first; only our own scanner tolerates
+    // header-anywhere) — emit the default header if the caller never did
+    if (!headerWritten)
+      writeHeader(HeaderMeta(Seq("OsmSchema-V0.6", "DenseNodes"), Nil, "graft-pbf-writer", "", None, None, None, None))
     val strings = new StringInterner
     val block = new ProtoWriter
 
@@ -84,7 +89,7 @@ final class PbfWriter(
     }
     if (ways.nonEmpty) groups += wayGroup(strings)
     if (relations.nonEmpty) groups += relationGroup(strings)
-    if (changesets.nonEmpty) groups += changesetGroup()
+    if (changesets.nonEmpty) groups += changesetGroup(strings)
 
     // stringtable (field 1) must resolve before groups at decode time, but
     // our decoder two-passes the block so field order is free; we still
@@ -216,11 +221,14 @@ final class PbfWriter(
     g
   }
 
-  private def changesetGroup(): ProtoWriter = {
+  private def changesetGroup(strings: StringInterner): ProtoWriter = {
     val g = new ProtoWriter
     changesets.foreach { c =>
       val cw = new ProtoWriter
       cw.varint(1, c.id)
+      val tags = c.tags.toSeq
+      cw.packedVarints(2, tags.map(t => strings.id(t._1).toLong))
+      cw.packedVarints(3, tags.map(t => strings.id(t._2).toLong))
       g.message(5, cw)
     }
     g
@@ -247,6 +255,21 @@ final class PbfWriter(
     out.write(bhBytes)
     out.write(blobBytes)
   }
+}
+
+object PbfWriter {
+  /** Local-file convenience (fixtures, tests). Distributed sinks should
+    * construct over a Hadoop FS stream instead — see OsmPbfSink. */
+  def apply(path: String,
+      granularity: Long = 100L,
+      latOffset: Long = 0L,
+      lonOffset: Long = 0L,
+      dateGranularity: Long = 1000L,
+      compress: Boolean = true,
+      dense: Boolean = true,
+      elementsPerBlock: Int = 8000): PbfWriter =
+    new PbfWriter(new BufferedOutputStream(new FileOutputStream(path), 1 << 16),
+      granularity, latOffset, lonOffset, dateGranularity, compress, dense, elementsPerBlock)
 }
 
 /** Per-block string table with index 0 fixed to "" (string_table.rs:11-16). */

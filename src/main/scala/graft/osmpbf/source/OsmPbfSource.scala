@@ -90,6 +90,14 @@ object OsmPbfSource {
     case other => throw new IllegalArgumentException(s"unknown kind option: $other")
   }
 
+  /** For pushed predicate VALUES (vs the explicit `kind` option, where a
+    * typo should fail fast): an unrecognized kind string matches no element,
+    * so it maps to mask 0 — every blob/group is pruned and Spark's
+    * re-evaluated row filter returns the correct empty result instead of
+    * planning crashing (round-1 ADVICE). */
+  def kindsMaskOfPredicate(kind: String): Int =
+    try kindsMaskOf(kind) catch { case _: IllegalArgumentException => 0 }
+
   /** Expand a path option into concrete .pbf file paths (dir → children). */
   def resolvePaths(pathOpt: String, conf: Configuration): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(pathOpt)
@@ -130,10 +138,10 @@ class OsmPbfScanBuilder(options: CaseInsensitiveStringMap)
     val accepted = mutable.ArrayBuffer.empty[Filter]
     filters.foreach {
       case f @ EqualTo("kind", v: String) =>
-        kindsMask &= OsmPbfSource.kindsMaskOf(v + "s")
+        kindsMask &= OsmPbfSource.kindsMaskOfPredicate(v)
         accepted += f
       case f @ In("kind", vs) =>
-        kindsMask &= vs.collect { case s: String => OsmPbfSource.kindsMaskOf(s + "s") }
+        kindsMask &= vs.collect { case s: String => OsmPbfSource.kindsMaskOfPredicate(s) }
           .foldLeft(0)(_ | _)
         accepted += f
       case f @ GreaterThan("id", v: Long) => idMin = math.max(idMin, v + 1); accepted += f
@@ -157,18 +165,43 @@ class OsmPbfScanBuilder(options: CaseInsensitiveStringMap)
 class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
     kindsMask: Int, idMin: Long, idMax: Long) extends Scan with Batch {
 
+  // Resolved once on the driver at planning time and shipped to executors:
+  // the SESSION's Hadoop conf, not `new Configuration()` — otherwise
+  // S3/HDFS credentials and endpoint settings silently vanish on a cluster.
+  private val confS = new graft.util.SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private val permissive = Option(options.get("permissive")).exists(_.toBoolean)
+
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"osmpbf kinds=$kindsMask idRange=[$idMin,$idMax] cols=${requiredSchema.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = confS.value
     val paths = OsmPbfSource.resolvePaths(options.get("path"), conf)
     val target = Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(32L * 1024 * 1024)
-    val ptrs = paths.flatMap { p =>
-      FrameScanner.scan(p, conf).blobs.filter(keepBlob)
-    }
+    // Frame-scanning reads only frame LENGTHS (seek-over-payload), but one
+    // seek per blob across a 100-TB directory is hours of driver time: past
+    // a handful of files the scan itself is distributed over executors and
+    // only the (small) pointer lists are collected.
+    val distributeFrom =
+      Option(options.get("indexScanThreshold")).map(_.toInt).getOrElse(4)
+    val ptrs: Seq[BlobPointer] =
+      if (paths.size >= distributeFrom) {
+        val cs = confS
+        // capture only primitives — `keepBlob _` would drag in `this`
+        // (OsmPbfScan is not serializable, by design)
+        val (km, lo, hi) = (kindsMask, idMin, idMax)
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .parallelize(paths, math.min(paths.size, 2048))
+          .flatMap(p => FrameScanner.scan(p, cs.value).blobs
+            .filter(b => OsmPbfScan.keepBlob(b, km, lo, hi)))
+          .collect().toSeq
+          .sortBy(p => (p.path, p.headerOffset))
+      } else paths.flatMap { p =>
+        FrameScanner.scan(p, conf).blobs.filter(keepBlob)
+      }
     // pack pointers into ~target-byte splits, preserving file order
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     val cur = mutable.ArrayBuffer.empty[BlobPointer]
@@ -184,8 +217,18 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
     parts.toArray
   }
 
-  /** Blob-level pushdown: kind counts + id zone maps (reference F5 fixed). */
-  private def keepBlob(ptr: BlobPointer): Boolean = {
+  private def keepBlob(ptr: BlobPointer): Boolean =
+    OsmPbfScan.keepBlob(ptr, kindsMask, idMin, idMax)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfReaderFactory(requiredSchema, kindsMask, confS, permissive)
+}
+
+object OsmPbfScan {
+  /** Blob-level pushdown: kind counts + id zone maps (reference F5 fixed).
+    * Static so the distributed index scan can ship it without capturing the
+    * (non-serializable) Scan instance. */
+  def keepBlob(ptr: BlobPointer, kindsMask: Int, idMin: Long, idMax: Long): Boolean = {
     if (ptr.blobType != "OSMData") return false
     val countsKnown = ptr.nodeCount >= 0
     if (countsKnown) {
@@ -205,28 +248,31 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
     }
     true
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new OsmPbfReaderFactory(requiredSchema, kindsMask)
 }
 
 case class OsmPbfPartition(blobs: Array[BlobPointer]) extends InputPartition
 
-class OsmPbfReaderFactory(requiredSchema: StructType, kindsMask: Int)
+class OsmPbfReaderFactory(requiredSchema: StructType, kindsMask: Int,
+    confS: graft.util.SerializableHadoopConf, permissive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfPartition], requiredSchema, kindsMask)
+    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfPartition], requiredSchema,
+      kindsMask, confS, permissive)
 }
 
 /** Decodes a run of blobs into InternalRows. One blob is decoded at a time
-  * (≤32 MiB uncompressed by spec), bounding memory; bad blobs are skipped
-  * and surfaced via the `graft.osmpbf.decodeErrors` task metric rather than
-  * failing the task (reference reader.rs:113-119 fault tolerance).
+  * (≤32 MiB uncompressed by spec), bounding memory, over ONE input stream
+  * per file (blobs arrive packed in file order; an open/close per blob is
+  * death by round-trips on object stores). A corrupt blob FAILS the task by
+  * default — silent data loss is worse than a retry; `permissive=true` opts
+  * into skip-and-count, surfaced via the `decodeErrors` task metric
+  * (reference reader.rs:113-119 fault tolerance).
   */
 class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructType,
-    kindsMask: Int) extends PartitionReader[InternalRow] {
+    kindsMask: Int, confS: graft.util.SerializableHadoopConf, permissive: Boolean)
+    extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = confS.value
   private val fieldNames = requiredSchema.fieldNames
   private def fieldIndex(name: String): Option[Int] = {
     val i = fieldNames.indexOf(name)
@@ -258,6 +304,23 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
   private var rowIdx = 0
   private var current: InternalRow = _
   var decodeErrors = 0L
+
+  // one stream per file, reused across this partition's blobs (positioned
+  // preads — no seek state, safe with the task's single thread)
+  private var openPath: String = _
+  private var openIn: org.apache.hadoop.fs.FSDataInputStream = _
+
+  private def readPayload(ptr: BlobPointer): Array[Byte] = {
+    if (openPath != ptr.path) {
+      if (openIn != null) openIn.close()
+      val p = new org.apache.hadoop.fs.Path(ptr.path)
+      openIn = p.getFileSystem(conf).open(p)
+      openPath = ptr.path
+    }
+    val buf = new Array[Byte](ptr.dataSize)
+    openIn.readFully(ptr.dataOffset, buf)
+    buf
+  }
 
   private final class RowHandler(blobOffset: Long) extends PbfCodec.ElementHandler {
     private def baseRow(kind: UTF8String, id: Long): GenericInternalRow = {
@@ -349,11 +412,16 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
       rows = mutable.ArrayBuffer.empty
       rowIdx = 0
       try {
-        val payload = FrameScanner.readBlobPayload(ptr, conf)
+        val payload = readPayload(ptr)
         val block = PbfCodec.decodeBlobPayload(payload, 0, payload.length)
         PbfCodec.decodeBlock(block, new RowHandler(ptr.headerOffset), kindsMask, wantTags, wantInfo)
       } catch {
-        case _: Exception => decodeErrors += 1
+        case e: Exception if permissive => decodeErrors += 1
+        case e: Exception =>
+          throw new java.io.IOException(
+            s"osmpbf: failed to decode blob at ${ptr.path} offset ${ptr.headerOffset} " +
+              "(set option permissive=true to skip corrupt blobs and count them " +
+              "in the decodeErrors task metric)", e)
       }
     }
     current = rows(rowIdx)
@@ -362,7 +430,7 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (openIn != null) { openIn.close(); openIn = null }
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {

@@ -1,13 +1,10 @@
 package graft.pipeline
 
 import graft.spatial.cell.{functions => F}
+import graft.util.HadoopIO
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-import scala.util.control.NonFatal
 
 /** Checkpoint/resume batch runner with per-partition lineage + metrics
   * (north_rule: "resumable from checkpoint with per-partition lineage +
@@ -16,27 +13,37 @@ import scala.util.control.NonFatal
   * The input is bucketed by coarse cell prefix (`cell_parent(tile,
   * bucketRes)`) — spatially coherent units of work, the batch analog of the
   * reference's osmosis replication sequence numbers (header_block.rs:33-71):
-  * a monotonically checkpointable progress marker. Each bucket writes
-  *   <out>/bucket=<cell>/        (parquet output)
-  *   <out>/_ckpt/<cell>.json     (lineage: input snapshot, rows, wall ms)
-  * and a resumed run skips buckets whose marker exists and is valid.
+  * a monotonically checkpointable progress marker.
   *
-  * Buckets are independent Spark jobs; within a bucket all parallelism is
-  * Spark-task-level. Failure mid-run loses at most one bucket's work.
+  * Scale shape (fixed from round 1, which re-scanned the FULL input once per
+  * bucket and re-read every bucket's output just to count it):
+  *   1. the bucketed input is staged ONCE via `write.partitionBy("_bucket")`
+  *      — each bucket's slice is then a partition-PRUNED read (verified:
+  *      `PartitionFilters` in the scan), so B buckets cost one scan + one
+  *      write, not B scans;
+  *   2. per-bucket row counts come from an `Observation` attached to the
+  *      output write — no read-back;
+  *   3. all markers/metrics go through the Hadoop FileSystem API, so the
+  *      checkpoint state lives next to the output on HDFS/S3, not on the
+  *      driver's local disk.
+  *
+  * Layout:
+  *   <out>/_staged/_bucket=<cell>/   (bucket-partitioned input copy)
+  *   <out>/bucket=<cell>/            (parquet output per bucket)
+  *   <out>/_ckpt/<cell>.json         (lineage: input snapshot, rows, wall ms)
+  *
+  * Buckets are independent Spark jobs; failure mid-run loses at most one
+  * bucket's work, and a resumed run skips buckets whose marker is valid.
   */
 object CheckpointedRunner {
 
   final case class BucketResult(bucket: Long, rows: Long, wallMs: Long, skipped: Boolean)
 
-  def markerPath(outDir: String, bucket: Long): java.nio.file.Path =
-    Paths.get(s"$outDir/_ckpt/$bucket.json")
+  def markerPath(outDir: String, bucket: Long): String = s"$outDir/_ckpt/$bucket.json"
 
-  def isDone(outDir: String, bucket: Long): Boolean = {
+  def isDone(outDir: String, bucket: Long, conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val p = markerPath(outDir, bucket)
-    Files.exists(p) && {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      s.contains("\"complete\":true")
-    }
+    HadoopIO.exists(p, conf) && HadoopIO.readString(p, conf).contains("\"complete\":true")
   }
 
   /** Run `work` once per bucket of `tiled` (a DataFrame with a `tile`
@@ -44,39 +51,51 @@ object CheckpointedRunner {
     * must return the DataFrame to persist.
     *
     * @param lineage opaque provenance string recorded in every marker
-    *                (e.g. input snapshot id + code version)
+    *                (e.g. input snapshot id + code version); a staged input
+    *                copy from a DIFFERENT lineage is discarded and re-staged
     */
   def run(spark: SparkSession, tiled: DataFrame, outDir: String,
       work: DataFrame => DataFrame, bucketRes: Int = 2,
       lineage: String = "unspecified",
       failInjector: Long => Unit = _ => ()): Seq[BucketResult] = {
-    Files.createDirectories(Paths.get(s"$outDir/_ckpt"))
-    val withBucket = tiled.withColumn("_bucket", F.cell_parent(col("tile"), bucketRes))
-    val buckets = withBucket.select("_bucket").distinct()
-      .collect().map(_.getLong(0)).sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val stagedDir = s"$outDir/_staged"
+    val lineageFile = s"$outDir/_staged_lineage.json"
+    val stagedValid = HadoopIO.exists(s"$stagedDir/_SUCCESS", conf) &&
+      HadoopIO.exists(lineageFile, conf) &&
+      HadoopIO.readString(lineageFile, conf) == lineage
+    if (!stagedValid) {
+      tiled.withColumn("_bucket", F.cell_parent(col("tile"), bucketRes))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(stagedDir)
+      HadoopIO.writeString(lineageFile, lineage, conf)
+    }
+    val staged = spark.read.parquet(stagedDir)
+    // bucket list from the partition directory names — a filesystem listing,
+    // not a data scan
+    val buckets = HadoopIO.fileSystem(stagedDir, conf)
+      .listStatus(new org.apache.hadoop.fs.Path(stagedDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+      .map(_.getPath.getName.stripPrefix("_bucket=").toLong)
+      .sorted.toSeq
+
     val results = buckets.map { b =>
-      if (isDone(outDir, b)) BucketResult(b, -1L, 0L, skipped = true)
+      if (isDone(outDir, b, conf)) BucketResult(b, -1L, 0L, skipped = true)
       else {
         val t0 = System.nanoTime()
-        try {
-          failInjector(b) // test hook: simulate a crash mid-run
-          val slice = withBucket.where(col("_bucket") === b).drop("_bucket")
-          val out = work(slice)
-          out.write.mode("overwrite").parquet(s"$outDir/bucket=$b")
-          val rows = spark.read.parquet(s"$outDir/bucket=$b").count()
-          val wallMs = (System.nanoTime() - t0) / 1000000
-          val marker =
-            s"""{"bucket":$b,"complete":true,"rows":$rows,"wall_ms":$wallMs,
-               |"lineage":"$lineage","bucket_res":$bucketRes}""".stripMargin
-          Files.write(markerPath(outDir, b), marker.getBytes(StandardCharsets.UTF_8))
-          BucketResult(b, rows, wallMs, skipped = false)
-        } catch {
-          case NonFatal(e) =>
-            // no marker written → next run redoes this bucket
-            throw e
-        }
+        failInjector(b) // test hook: simulate a crash mid-run
+        val slice = staged.where(col("_bucket") === b).drop("_bucket")
+        val obs = Observation(s"bucket_$b")
+        work(slice).observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite").parquet(s"$outDir/bucket=$b")
+        val rows = obs.get("rows").asInstanceOf[Long]
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        val marker =
+          s"""{"bucket":$b,"complete":true,"rows":$rows,"wall_ms":$wallMs,
+             |"lineage":"$lineage","bucket_res":$bucketRes}""".stripMargin
+        HadoopIO.writeString(markerPath(outDir, b), marker, conf)
+        BucketResult(b, rows, wallMs, skipped = false)
       }
-    }.toSeq
+    }
     // aggregate metrics for the whole run
     val done = results.filterNot(_.skipped)
     val metrics =
@@ -84,8 +103,7 @@ object CheckpointedRunner {
          |"buckets_skipped":${results.count(_.skipped)},
          |"rows":${done.map(_.rows).sum},"wall_ms":${done.map(_.wallMs).sum},
          |"lineage":"$lineage"}""".stripMargin
-    Files.write(Paths.get(s"$outDir/_pipeline_metrics.json"),
-      metrics.getBytes(StandardCharsets.UTF_8))
+    HadoopIO.writeString(s"$outDir/_pipeline_metrics.json", metrics, conf)
     results
   }
 

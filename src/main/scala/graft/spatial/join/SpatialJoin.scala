@@ -93,8 +93,18 @@ object SpatialJoin {
     // can stall in withFinalPlanUpdate on the checkpointed iteration;
     // these per-round joins are small and fixed-shape, so plan them
     // statically and restore the setting afterwards.
+    // NOTE: this flips the SESSION conf for the duration of the loop (and
+    // restores it in finally) — a concurrent query on the same SparkSession
+    // would plan without AQE during that window. Run concurrent workloads
+    // from separate sessions (spark.newSession() shares the context but not
+    // the conf) if that matters.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Per-round localCheckpoints pin executor-memory blocks; on long loops
+    // these accumulate (round-1 leak). Track the persistent RDDs that exist
+    // before the loop, materialize the final result, then free everything
+    // this call created except the result's own blocks.
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     try {
     val diskUdf = udf((cell: Long, r: Int) => CellMath.disk(cell, r))
     val topkUdaf = udaf(new TopKAgg(k))
@@ -186,7 +196,13 @@ object SpatialJoin {
       results = if (results == null) rest else results.unionByName(rest)
     }
     poiCells.unpersist()
-    results.localCheckpoint()
+    val beforeFinal = spark.sparkContext.getPersistentRDDs.keySet
+    val out = results.localCheckpoint() // eager: result blocks materialized
+    val toFree = beforeFinal -- preexisting
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (toFree.contains(id)) rdd.unpersist(blocking = false)
+    }
+    out
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 

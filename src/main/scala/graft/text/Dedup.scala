@@ -87,6 +87,25 @@ object Dedup {
   private def minhashUdf(numHashes: Int, shingleSize: Int) =
     udf((text: String) => minhashSignature(text, numHashes, shingleSize))
 
+  /** Split oversize LSH buckets into ~`cap`-sized sub-buckets by a secondary
+    * id hash (per-bucket count guard): a bucket of m near-identical docs —
+    * ubiquitous in web crawls (boilerplate, mirrors) — otherwise produces
+    * m²/2 candidate pairs and kills the job at scale. Pairs straddling two
+    * sub-buckets of one oversize bucket are candidates only via other
+    * bands/tables (bounded, documented recall trade for bounded work). */
+  private def subBucketed(banded: DataFrame, bandCols: Seq[String], idCol: String,
+      cap: Int): (DataFrame, Seq[String]) = {
+    val w = Window.partitionBy(bandCols.map(col): _*)
+    val withSub = banded
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .withColumn("_sub",
+        when(col("_bsz") > cap,
+          pmod(xxhash64(col(idCol)), ceil(col("_bsz") / cap).cast("long")))
+          .otherwise(lit(0L)))
+      .drop("_bsz")
+    (withSub, bandCols :+ "_sub")
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * shingle → minhash → band → bucket-join: signatures banded into
@@ -94,31 +113,70 @@ object Dedup {
     * candidates; candidates verified by estimated Jaccard (matching
     * signature fraction) ≥ `threshold`.
     *
+    * Scale shape (round-1 fix): EXACT duplicates are collapsed to one
+    * canonical representative per distinct text BEFORE banding — a
+    * million-document identical cluster contributes one row to the LSH
+    * join, not 10¹² candidate pairs — and results are expanded back to
+    * member pairs afterwards (identical output, linear work). Oversize
+    * buckets that remain are sub-split via `maxBucketSize`.
+    *
+    * @param maxBucketSize      per-(band,bucket) candidate-group cap
+    * @param expandExactGroups  when false, returns pairs over canonical
+    *                           representatives only (join with `exact()` for
+    *                           membership) — the 100-TB mode, where
+    *                           enumerating every intra-cluster pair is
+    *                           itself quadratic output
     * @return (a_id, b_id, est_jaccard) with a_id < b_id
     */
   def minhashLsh(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       bands: Int = 16, rows: Int = 8, shingleSize: Int = 5,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 100000,
+      expandExactGroups: Boolean = true): DataFrame = {
     val numHashes = bands * rows
-    val withSig = docs
-      .select(col(idCol).as("_id"), col(textCol).as("_text"))
+    val base = docs.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .withColumn("_fp", md5(col("_text")))
+    val wFp = Window.partitionBy("_fp")
+    val withRep = base.withColumn("_rep", min(col("_id")).over(wFp))
+    val reps = withRep.where(col("_id") === col("_rep"))
       .withColumn("sig", minhashUdf(numHashes, shingleSize)(col("_text")))
-      .drop("_text")
+      .select(col("_id"), col("sig"))
     // band key: hash of the signature slice — one shuffle on (band, key)
-    val banded = withSig.select(col("_id"), col("sig"),
+    val banded = reps.select(col("_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a._id") < col("b._id"))
+    val (guarded, joinKeys) = subBucketed(banded, Seq("band", "bucket"), "_id", maxBucketSize)
+    val joinCond = joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a._id") < col("b._id")
+    val repPairs = guarded.as("a").join(guarded.as("b"), joinCond)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("a_id", "b_id")
-    pairs
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
       .where(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
+    if (!expandExactGroups) repPairs
+    else expandGroups(repPairs, withRep.select(col("_id"), col("_fp"), col("_rep")),
+      lit(1.0).as("est_jaccard"), Seq("est_jaccard"))
+  }
+
+  /** Expand canonical-representative pairs back to member pairs: intra-group
+    * pairs (exact duplicates of one another) carry `intraPayload`; cross-
+    * group pairs inherit the representative pair's payload columns. Output
+    * is identical to running the LSH join over raw documents — exact
+    * duplicates share every band with their representative. */
+  private def expandGroups(repPairs: DataFrame, membership: DataFrame,
+      intraPayload: Column, payloadCols: Seq[String]): DataFrame = {
+    val intra = membership.as("x").join(membership.as("y"),
+        col("x._fp") === col("y._fp") && col("x._id") < col("y._id"))
+      .select((col("x._id").as("a_id") +: col("y._id").as("b_id") +: Seq(intraPayload)): _*)
+    val mem = membership.select(col("_rep"), col("_id"))
+    val cross = repPairs
+      .join(mem.withColumnRenamed("_rep", "a_id").withColumnRenamed("_id", "_ma"), "a_id")
+      .join(mem.withColumnRenamed("_rep", "b_id").withColumnRenamed("_id", "_mb"), "b_id")
+      .select((least(col("_ma"), col("_mb")).as("a_id") +:
+        greatest(col("_ma"), col("_mb")).as("b_id") +: payloadCols.map(col)): _*)
+    intra.unionByName(cross)
   }
 
   /** 64-bit SimHash over word tokens (weight 1 each). */
@@ -148,23 +206,38 @@ object Dedup {
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming.
     * Candidate generation by 16-bit band equality (4 bands): any pair with
     * Hamming ≤ 3 shares at least one exact band (pigeonhole), so the
-    * band-join finds all such pairs without an all-pairs comparison. */
+    * band-join finds all such pairs without an all-pairs comparison.
+    *
+    * Same scale shape as [[minhashLsh]]: documents with IDENTICAL simhash
+    * (which behave identically in every band) are collapsed to one
+    * representative before the join and expanded back afterwards; remaining
+    * oversize buckets are sub-split (`maxBucketSize`). The pigeonhole recall
+    * guarantee is preserved for pairs not inside one oversize sub-split. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 100000,
+      expandExactGroups: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming ≤ 3")
-    val withSim = docs.select(col(idCol).as("_id"), simhashUdf(col(textCol)).as("simhash"))
-    val banded = withSim.select(col("_id"), col("simhash"),
+    val base = docs.select(col(idCol).as("_id"), simhashUdf(col(textCol)).as("simhash"))
+    val wSim = Window.partitionBy("simhash")
+    val withRep = base.withColumn("_rep", min(col("_id")).over(wSim))
+    val reps = withRep.where(col("_id") === col("_rep")).select(col("_id"), col("simhash"))
+    val banded = reps.select(col("_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
         "b -> (simhash >> (b * 16)) & 65535)")).as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a._id") < col("b._id"))
+    val (guarded, joinKeys) = subBucketed(banded, Seq("band", "bucket"), "_id", maxBucketSize)
+    val joinCond = joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a._id") < col("b._id")
+    val repPairs = guarded.as("a").join(guarded.as("b"), joinCond)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+    if (!expandExactGroups) repPairs
+    else expandGroups(repPairs,
+      withRep.select(col("_id"), col("simhash").as("_fp"), col("_rep")),
+      lit(0).as("hamming"), Seq("hamming"))
   }
 
   /** Exact word-n-gram Jaccard similarity for candidate pairs (the

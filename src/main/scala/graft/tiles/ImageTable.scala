@@ -62,18 +62,17 @@ object ImageTable {
     df.select("image_id", "bytes", "w", "h", "caption", "phash").map { r =>
       val imageId = r.getString(0)
       val idx = imageId.stripPrefix("img_").toLong
-      val decoded = Images.decode(r.getAs[Array[Byte]](1))
-      // compare decoded pixels directly against the generator formula and
-      // hash the decoded raster — no second image or PNG re-encode is
-      // materialized (GC pause time is the serial term that caps scaling)
-      val p = if (decoded.w == r.getInt(2) && decoded.h == r.getInt(3))
-        Images.psnrVsSynth(decoded, idx) else 0.0
+      // single fused pass over a per-thread reused decode buffer: PSNR vs
+      // the generator formula + average-hash, with no Img / raster / native
+      // Inflater allocated per row (GC was the serial term capping scaling)
+      val st = Images.parityStats(r.getAs[Array[Byte]](1), idx)
+      val p = if (st.w == r.getInt(2) && st.h == r.getInt(3)) st.psnrDb else 0.0
       val (lon, lat) = Images.position(idx, centersB.value)
-      val expectedCaption = f"caption for img_$idx%09d tile ${lon.toInt}_${lat.toInt}"
+      val expectedCaption = Images.captionFor(idx, lon, lat)
       (imageId,
         if (p.isInfinity) 1e9 else p,
         r.getString(4) == expectedCaption,
-        r.getLong(5) == Images.aHash(decoded))
+        r.getLong(5) == st.ahash)
     }.toDF("image_id", "psnr_db", "caption_ok", "phash_ok")
   }
 }

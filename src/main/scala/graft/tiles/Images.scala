@@ -86,6 +86,75 @@ object Images {
     hash
   }
 
+  /** Parity verdict for one encoded image vs the deterministic generator:
+    * PSNR and average-hash computed in ONE fused pass over a per-thread
+    * reused decode buffer (no Img, no second raster, no per-image native
+    * Inflater). This is the scaling-critical hot path: at bench scale the
+    * allocation rate of the naive decode→psnr→aHash pipeline made young-gen
+    * GC the serial term that capped N→4N efficiency. Bit-identical to
+    * `psnrVsSynth(decode(b), idx)` / `aHash(decode(b))` (asserted in
+    * ImagesSpec). */
+  final case class ParityStats(psnrDb: Double, ahash: Long, w: Int, h: Int)
+
+  private val localDecoder = new ThreadLocal[Png.Decoder] {
+    override def initialValue(): Png.Decoder = new Png.Decoder()
+  }
+
+  def parityStats(bytes: Array[Byte], idx: Long): ParityStats = {
+    if (!Png.isPng(bytes)) { // foreign-format fallback (rare, never the hot path)
+      val img = decode(bytes)
+      return ParityStats(psnrVsSynth(img, idx), aHash(img), img.w, img.h)
+    }
+    val d = localDecoder.get()
+    d.decode(bytes)
+    val w = d.w
+    val h = d.h
+    val px = d.px
+    val idxTerm = ((idx * 7) % 256).toInt // pixelValue's idx term, int math
+    var se = 0.0
+    val cells = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      val yTerm = y * 17 + idxTerm
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val r = (p >> 16) & 0xff
+        val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        val base = x * 31 + yTerm
+        var dd = (r - base % 256).toDouble; se += dd * dd
+        dd = (g - (base + 13) % 256).toDouble; se += dd * dd
+        dd = (b - (base + 26) % 256).toDouble; se += dd * dd
+        val cx = math.min(7, x * 8 / w)
+        cells(cy * 8 + cx) += (r + g + b) / 3
+        counts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      cells(i) = if (counts(i) > 0) cells(i) / counts(i) else 0L
+      total += cells(i)
+      i += 1
+    }
+    val mean = total / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    val mse = se / (w.toLong * h * 3)
+    val psnr =
+      if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
+    ParityStats(psnr, hash, w, h)
+  }
+
   /** PSNR of a decoded image against the deterministic generator formula —
     * allocation-free (no second image materialized): the hot path of the
     * parity gate at benchmark scale. */
@@ -187,14 +256,32 @@ object Images {
   final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
       fmt: String, caption: String, phash: Long, lon: Double, lat: Double)
 
+  /** `img_%09d` without java.util.Formatter (which re-parses the format
+    * string and allocates per call — measurable at millions of rows). */
+  def idString(idx: Long): String = {
+    val digits = idx.toString
+    val sb = new java.lang.StringBuilder(4 + math.max(9, digits.length))
+    sb.append("img_")
+    var pad = 9 - digits.length
+    while (pad > 0) { sb.append('0'); pad -= 1 }
+    sb.append(digits).toString
+  }
+
+  def captionFor(idx: Long, lon: Double, lat: Double): String = {
+    val sb = new java.lang.StringBuilder(48)
+    sb.append("caption for ").append(idString(idx))
+      .append(" tile ").append(lon.toInt).append('_').append(lat.toInt)
+    sb.toString
+  }
+
   def synthRow(idx: Long, centers: Seq[(Double, Double)]): ImageRow = {
     val dims = Array(16, 32, 64)
     val w = dims((idx % 3).toInt)
     val h = dims(((idx / 3) % 3).toInt)
     val img = synthPixels(w, h, idx)
     val (lon, lat) = position(idx, centers)
-    ImageRow(f"img_$idx%09d", encodePng(img), w, h, "png",
-      f"caption for img_$idx%09d tile ${lon.toInt}_${lat.toInt}", aHash(img), lon, lat)
+    ImageRow(idString(idx), encodePng(img), w, h, "png",
+      captionFor(idx, lon, lat), aHash(img), lon, lat)
   }
 
   /** Distributed synthesis of the image table as a Dataset — generation is

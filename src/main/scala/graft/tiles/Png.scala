@@ -89,107 +89,164 @@ object Png {
   }
 
   // ---------------------------------------------------------------- decode
+
+  private final val IHDR = 0x49484452
+  private final val IDAT = 0x49444154
+  private final val IEND = 0x49454e44
+
+  /** One-shot decode: allocates fresh buffers. For hot loops (millions of
+    * images per task) use a per-thread [[Decoder]] instead — it reuses the
+    * native Inflater and all byte/int buffers across calls, which cuts the
+    * allocation rate ~20x and keeps young-gen GC off the scaling-critical
+    * path. */
   def decode(bytes: Array[Byte]): Img = {
-    require(isPng(bytes), "not a PNG")
-    var pos = 8
+    val d = new Decoder()
+    try {
+      d.decode(bytes)
+      Img(d.w, d.h, java.util.Arrays.copyOf(d.px, d.w * d.h))
+    } finally d.close()
+  }
+
+  /** Reusable PNG decode state: one native Inflater (reset per image rather
+    * than malloc/free per image) plus grow-only scratch buffers. NOT
+    * thread-safe — hold one per thread (see Images.parityStats). After
+    * decode(), `w`/`h` are the dimensions and the first w*h entries of `px`
+    * are 0xRRGGBB pixels; the buffer is overwritten by the next decode. */
+  final class Decoder {
+    private val inflater = new Inflater()
+    private var raw = Array.emptyByteArray
+    private var pxBuf = new Array[Int](0)
+    private var prev = Array.emptyByteArray
+    private var cur = Array.emptyByteArray
+    private var idatBuf = Array.emptyByteArray // only for multi-IDAT files
     var w = 0
     var h = 0
-    var colorType = -1
-    var bitDepth = -1
-    var interlace = 0
-    val idat = new java.io.ByteArrayOutputStream()
-    var done = false
-    while (!done && pos + 8 <= bytes.length) {
-      val len = readInt(bytes, pos)
-      val name = new String(bytes, pos + 4, 4, "US-ASCII")
-      val dataOff = pos + 8
-      name match {
-        case "IHDR" =>
-          w = readInt(bytes, dataOff)
-          h = readInt(bytes, dataOff + 4)
-          bitDepth = bytes(dataOff + 8) & 0xff
-          colorType = bytes(dataOff + 9) & 0xff
-          interlace = bytes(dataOff + 12) & 0xff
-        case "IDAT" => idat.write(bytes, dataOff, len)
-        case "IEND" => done = true
-        case _ => () // ancillary chunks skipped
+    def px: Array[Int] = pxBuf
+
+    def close(): Unit = inflater.end()
+
+    def decode(bytes: Array[Byte]): Unit = {
+      require(isPng(bytes), "not a PNG")
+      var pos = 8
+      w = 0; h = 0
+      var colorType = -1
+      var bitDepth = -1
+      var interlace = 0
+      var idatOff = -1
+      var idatLen = 0
+      var idatTotal = 0
+      var idatChunks = 0
+      var done = false
+      while (!done && pos + 8 <= bytes.length) {
+        val len = readInt(bytes, pos)
+        val typ = readInt(bytes, pos + 4)
+        val dataOff = pos + 8
+        typ match {
+          case IHDR =>
+            w = readInt(bytes, dataOff)
+            h = readInt(bytes, dataOff + 4)
+            bitDepth = bytes(dataOff + 8) & 0xff
+            colorType = bytes(dataOff + 9) & 0xff
+            interlace = bytes(dataOff + 12) & 0xff
+          case IDAT =>
+            if (idatChunks == 0) { idatOff = dataOff; idatLen = len }
+            idatChunks += 1
+            idatTotal += len
+          case IEND => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        pos = dataOff + len + 4 // skip CRC
       }
-      pos = dataOff + len + 4 // skip CRC
+      require(bitDepth == 8 && (colorType == 2 || colorType == 6) && interlace == 0,
+        s"unsupported PNG shape: depth=$bitDepth color=$colorType interlace=$interlace")
+      val bpp = if (colorType == 2) 3 else 4
+      val stride = w * bpp
+      val rawLen = h * (1 + stride)
+      if (raw.length < rawLen) raw = new Array[Byte](rawLen)
+      if (prev.length < stride) {
+        prev = new Array[Byte](stride)
+        cur = new Array[Byte](stride)
+      }
+      if (pxBuf.length < w * h) pxBuf = new Array[Int](w * h)
+      java.util.Arrays.fill(prev, 0, stride, 0.toByte) // buffers are reused
+
+      inflater.reset()
+      if (idatChunks == 1) {
+        // fast path (our encoder and most tooling): inflate straight from
+        // the input slice, no IDAT concatenation copy
+        inflater.setInput(bytes, idatOff, idatLen)
+      } else {
+        if (idatBuf.length < idatTotal) idatBuf = new Array[Byte](idatTotal)
+        var p = 8
+        var o = 0
+        var d2 = false
+        while (!d2 && p + 8 <= bytes.length) {
+          val len = readInt(bytes, p)
+          val typ = readInt(bytes, p + 4)
+          if (typ == IDAT) { System.arraycopy(bytes, p + 8, idatBuf, o, len); o += len }
+          else if (typ == IEND) d2 = true
+          p += 8 + len + 4
+        }
+        inflater.setInput(idatBuf, 0, idatTotal)
+      }
+      var off = 0
+      while (off < rawLen && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, rawLen - off)
+        if (n == 0 && inflater.needsInput()) throw new IllegalArgumentException("truncated IDAT")
+        off += n
+      }
+      require(off == rawLen, s"IDAT inflated $off of $rawLen bytes")
+
+      // unfilter scanline by scanline (PNG spec §6)
+      var y = 0
+      off = 0
+      while (y < h) {
+        val filter = raw(off) & 0xff
+        off += 1
+        System.arraycopy(raw, off, cur, 0, stride)
+        off += stride
+        filter match {
+          case 0 => ()
+          case 1 => // Sub
+            var i = bpp
+            while (i < stride) { cur(i) = (cur(i) + cur(i - bpp)).toByte; i += 1 }
+          case 2 => // Up
+            var i = 0
+            while (i < stride) { cur(i) = (cur(i) + prev(i)).toByte; i += 1 }
+          case 3 => // Average
+            var i = 0
+            while (i < stride) {
+              val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+              val b = prev(i) & 0xff
+              cur(i) = (cur(i) + ((a + b) >> 1)).toByte
+              i += 1
+            }
+          case 4 => // Paeth
+            var i = 0
+            while (i < stride) {
+              val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+              val b = prev(i) & 0xff
+              val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              cur(i) = (cur(i) + pred).toByte
+              i += 1
+            }
+          case f => throw new IllegalArgumentException(s"bad PNG filter $f")
+        }
+        var x = 0
+        while (x < w) {
+          val i = x * bpp
+          pxBuf(y * w + x) = ((cur(i) & 0xff) << 16) | ((cur(i + 1) & 0xff) << 8) | (cur(i + 2) & 0xff)
+          x += 1
+        }
+        val t = prev; prev = cur; cur = t // swap instead of copying
+        y += 1
+      }
     }
-    require(bitDepth == 8 && (colorType == 2 || colorType == 6) && interlace == 0,
-      s"unsupported PNG shape: depth=$bitDepth color=$colorType interlace=$interlace")
-    val bpp = if (colorType == 2) 3 else 4
-    val stride = w * bpp
-    val raw = inflateAll(idat.toByteArray, h * (1 + stride))
-    // unfilter in place, scanline by scanline (PNG spec §6)
-    val px = new Array[Int](w * h)
-    val prev = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
-    var y = 0
-    var off = 0
-    while (y < h) {
-      val filter = raw(off) & 0xff
-      off += 1
-      System.arraycopy(raw, off, cur, 0, stride)
-      off += stride
-      filter match {
-        case 0 => ()
-        case 1 => // Sub
-          var i = bpp
-          while (i < stride) { cur(i) = (cur(i) + cur(i - bpp)).toByte; i += 1 }
-        case 2 => // Up
-          var i = 0
-          while (i < stride) { cur(i) = (cur(i) + prev(i)).toByte; i += 1 }
-        case 3 => // Average
-          var i = 0
-          while (i < stride) {
-            val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
-            val b = prev(i) & 0xff
-            cur(i) = (cur(i) + ((a + b) >> 1)).toByte
-            i += 1
-          }
-        case 4 => // Paeth
-          var i = 0
-          while (i < stride) {
-            val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
-            val b = prev(i) & 0xff
-            val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            cur(i) = (cur(i) + pred).toByte
-            i += 1
-          }
-        case f => throw new IllegalArgumentException(s"bad PNG filter $f")
-      }
-      var x = 0
-      while (x < w) {
-        val i = x * bpp
-        px(y * w + x) = ((cur(i) & 0xff) << 16) | ((cur(i + 1) & 0xff) << 8) | (cur(i + 2) & 0xff)
-        x += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
-    }
-    Img(w, h, px)
   }
 
   private def readInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-
-  private def inflateAll(data: Array[Byte], expected: Int): Array[Byte] = {
-    val inf = new Inflater()
-    try {
-      inf.setInput(data)
-      val out = new Array[Byte](expected)
-      var off = 0
-      while (off < expected && !inf.finished()) {
-        val n = inf.inflate(out, off, expected - off)
-        if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated IDAT")
-        off += n
-      }
-      require(off == expected, s"IDAT inflated $off of $expected bytes")
-      out
-    } finally inf.end()
-  }
 }

@@ -1,0 +1,99 @@
+package graft.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.io.{ObjectInputStream, ObjectOutputStream, OutputStream}
+
+/** Hadoop `Configuration` is not `Serializable`; this wrapper ships the
+  * session's conf (S3 credentials, endpoints, etc.) from driver to executor
+  * tasks the same way Spark's own readers do — `Configuration.write/readFields`
+  * through Java serialization. Always pass the session conf
+  * (`spark.sessionState.newHadoopConf()`) instead of `new Configuration()`,
+  * which silently drops user settings on a real cluster.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Cluster-safe file IO through the Hadoop FileSystem API (works on local
+  * FS, HDFS, S3A alike), replacing `java.io.File`/`java.nio.file.Files`
+  * call sites that only work when every executor shares the driver's disk.
+  */
+object HadoopIO {
+
+  /** Write `fileName` under `dir` atomically: stream to an attempt-scoped
+    * temp path, rename into place on success. Safe against retried and
+    * speculative tasks — the loser of a rename race deletes its temp file
+    * and keeps the winner's output (both attempts produce identical bytes
+    * for a deterministic partition).
+    */
+  def writeAtomic(dir: String, fileName: String, conf: Configuration,
+      attemptId: Long)(body: OutputStream => Unit): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    fs.mkdirs(dirPath)
+    val tmp = new Path(dirPath, s"_temporary-$fileName-attempt-$attemptId")
+    val dst = new Path(dirPath, fileName)
+    val out = fs.create(tmp, true)
+    var ok = false
+    try {
+      body(out)
+      out.close()
+      ok = true
+    } finally {
+      if (!ok) {
+        try out.close() catch { case _: Exception => () }
+        fs.delete(tmp, false)
+      }
+    }
+    if (!fs.rename(tmp, dst)) {
+      // another attempt committed first (speculation/retry): keep its file
+      fs.delete(tmp, false)
+      if (!fs.exists(dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed and no committed file exists")
+    }
+  }
+
+  def writeString(path: String, content: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readString(path: String, conf: Configuration): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  def exists(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  def delete(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(conf).delete(p, true)
+  }
+
+  def fileSystem(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+}

@@ -168,7 +168,7 @@ class CodecSpec extends AnyFunSuite with GenSupport {
       mk(1, 90000000000L, 180000000000L),
       mk(2, -90000000000L, -180000000000L),
       mk(3, 0L, 0L))
-    val w = new PbfWriter(path)
+    val w = PbfWriter(path)
     extremes.foreach(w.addNode)
     w.close()
     val dec = PbfFile.read(path)
@@ -182,7 +182,7 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     val path = tmpFile(".pbf")
     val tags = Map("name:ja" -> "東京", "emoji" -> "🗺️", "empty" -> "", "ascii" -> "x")
     val node = OsmNode(9L, 100L, 200L, 1e-7, 2e-7, tags, None, 0L)
-    val w = new PbfWriter(path)
+    val w = PbfWriter(path)
     w.addNode(node)
     w.close()
     val dec = PbfFile.read(path)
@@ -241,7 +241,7 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     val ts = new Timestamp(1500000123000L) // multiple of 1000 ms
     val n = OsmNode(1L, 0L, 0L, 0, 0, Map.empty,
       Some(OsmInfo(2, ts, 55L, 9, "alice", visible = true)), 0L)
-    val w = new PbfWriter(path)
+    val w = PbfWriter(path)
     w.addNode(n)
     w.close()
     val dec = PbfFile.read(path)

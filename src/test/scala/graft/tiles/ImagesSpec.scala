@@ -66,6 +66,75 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json")))
   }
 
+  test("parityStats fused pass ≡ decode→psnrVsSynth + aHash, across reused buffers") {
+    // one thread, many sizes in shrinking AND growing order: exercises the
+    // per-thread Decoder's grow-only buffer reuse (stale-tail bugs would
+    // show as psnr < ∞ or hash mismatch)
+    val idxs = Seq(0L, 7L, 3L, 100L, 1L, 55L, 8L, 2L)
+    idxs.foreach { idx =>
+      val row = Images.synthRow(idx, centers)
+      val st = Images.parityStats(row.bytes, idx)
+      val img = Images.decode(row.bytes)
+      assert((st.w, st.h) === (img.w, img.h))
+      assert(st.psnrDb.isPosInfinity, s"idx=$idx")
+      assert(st.ahash === Images.aHash(img), s"idx=$idx")
+      assert(st.ahash === row.phash)
+    }
+    // mismatch (wrong idx) must yield the same finite PSNR as the two-pass path
+    val row = Images.synthRow(11L, centers)
+    val st = Images.parityStats(row.bytes, 999L)
+    val img = Images.decode(row.bytes)
+    assert(st.psnrDb === Images.psnrVsSynth(img, 999L))
+    assert(st.psnrDb < 40.0)
+  }
+
+  test("Decoder handles multi-IDAT and filtered PNGs identically to one-shot decode") {
+    val img = Images.synthPixels(24, 16, 42L)
+    val png = Png.encode(img)
+    // split the single IDAT chunk into two chunks byte-identically
+    val multi = splitIdat(png)
+    assert(multi.length > png.length)
+    val d = new Png.Decoder()
+    try {
+      d.decode(multi)
+      assert((d.w, d.h) === (24, 16))
+      assert(d.px.take(24 * 16).toSeq === img.px.toSeq)
+      // an ImageIO-encoded PNG (uses scanline filters our encoder doesn't)
+      val bi = new java.awt.image.BufferedImage(24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) bi.setRGB(x, y, img.rgb(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", baos)
+      d.decode(baos.toByteArray)
+      assert(d.px.take(24 * 16).toSeq === img.px.toSeq)
+    } finally d.close()
+  }
+
+  private def splitIdat(png: Array[Byte]): Array[Byte] = {
+    def readInt(b: Array[Byte], o: Int) =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 8)
+    var pos = 8
+    while (pos + 8 <= png.length) {
+      val len = readInt(png, pos)
+      val name = new String(png, pos + 4, 4, "US-ASCII")
+      if (name == "IDAT" && len > 1) {
+        val half = len / 2
+        def chunkOf(data: Array[Byte]): Unit = {
+          val crc = new java.util.zip.CRC32()
+          crc.update("IDAT".getBytes("US-ASCII")); crc.update(data)
+          val hdr = java.nio.ByteBuffer.allocate(8).putInt(data.length).put("IDAT".getBytes("US-ASCII")).array()
+          out.write(hdr); out.write(data)
+          out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+        }
+        chunkOf(java.util.Arrays.copyOfRange(png, pos + 8, pos + 8 + half))
+        chunkOf(java.util.Arrays.copyOfRange(png, pos + 8 + half, pos + 8 + len))
+      } else out.write(png, pos, 8 + len + 4)
+      pos += 8 + len + 4
+    }
+    out.toByteArray
+  }
+
   test("phash xor distance separates identical from different images") {
     import spark.implicits._
     val df = Images.synthesize(spark, 60, centers, 2).select("image_id", "phash")
