@@ -191,9 +191,12 @@ object SparkEntry {
       Dedup.simhashPairs(table(s, dir, "documents").limit(2000), maxHamming = 3)
     }),
     "d7_ngram_jaccard" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(docs, threshold = 0.2)
-        .select("a_id", "b_id").limit(500)
+      // deterministic pair set (all pairs of the first 40 docs) so DuckDB
+      // can replicate it — the LSH-candidate flow is exercised by DedupSpec
+      val docs = table(s, dir, "documents").where(col("doc_id") < 40)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a_id"))
+        .join(ids.select(col("doc_id").as("b_id")), col("a_id") < col("b_id"))
       Dedup.ngramJaccard(pairs, docs).select("a_id", "b_id", "jaccard")
     }),
     // --------------------------------------------------------- embeddings
@@ -213,9 +216,11 @@ object SparkEntry {
       Ann.lshTopK(queries, corpus, k = 5).select("q_id", "c_id", "rank")
     }),
     "e3_near_dup" -> ((s, dir) => {
-      // planted duplicates: corpus ∪ (corpus shifted by 10^6) —
-      // every vector pairs with its clone at cosine 1.0
-      val emb = table(s, dir, "embeddings").limit(1000)
+      // planted duplicates: corpus ∪ (corpus shifted by 10^6) — every
+      // vector pairs with its clone at cosine 1.0. Deterministic subset
+      // (vec_id, not limit) so the DuckDB brute-force oracle sees the
+      // same input; the 0.999 threshold sits far from any non-clone pair.
+      val emb = table(s, dir, "embeddings").where(col("vec_id") < 1000)
       val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val planted = corpus.unionByName(
         corpus.withColumn("c_id", col("c_id") + 1000000L))
@@ -416,7 +421,38 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id) t
-        |WHERE rank <= 5""".stripMargin
+        |WHERE rank <= 5""".stripMargin,
+    // word-trigram sets as space-joined strings (injective: words contain no
+    // whitespace); list_intersect/list_distinct give set semantics matching
+    // the Scala Set[Seq[String]] in Dedup.ngramJaccard
+    "d7_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 40
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+        |         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams
+        |  FROM d)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 1.0
+        |       ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.grams, b.grams))) END AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
+    // brute-force ground truth for the LSH screen: planted clones sit at
+    // cosine ~1.0 and every other pair far below 0.999, so the approximate
+    // candidate generation must agree exactly with exhaustive search here
+    "e3_near_dup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < 1000),
+        |p AS (
+        |  SELECT * FROM c
+        |  UNION ALL SELECT c_id + 1000000 AS c_id, embedding FROM c)
+        |SELECT a.c_id AS a_id, b.c_id AS b_id
+        |FROM p a JOIN p b ON a.c_id < b.c_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""".stripMargin
   )
 
   private def langIdSql: String = {

@@ -46,7 +46,8 @@ import scala.jdk.CollectionConverters._
 class OsmPbfSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "osmpbf"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = OsmPbfSource.fullSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmPbfSource.schemaFor(options)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -81,6 +82,16 @@ object OsmPbfSource {
     StructField("info", infoType),
     StructField("blob_offset", LongType, nullable = false)))
 
+  /** `withFile=true` appends a `_file` source-path column to the schema —
+    * the streaming analog of the batch `_file` METADATA column (metadata
+    * columns resolve only through batch DataSourceV2Relation; the
+    * micro-batch path needs it in the data schema). OsmReplication uses it
+    * to recover osmosis sequence numbers. */
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    if (Option(options.get("withFile")).exists(_.toBoolean))
+      StructType(fullSchema.fields :+ StructField("_file", StringType, nullable = false))
+    else fullSchema
+
   def kindsMaskOf(kind: String): Int = kind.toLowerCase match {
     case "all" => PbfCodec.KindAll
     case "nodes" | "node" => PbfCodec.KindNode
@@ -112,10 +123,20 @@ object OsmPbfSource {
   }
 }
 
-class OsmPbfTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class OsmPbfTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"osmpbf:${options.get("path")}"
-  override def schema(): StructType = OsmPbfSource.fullSchema
-  override def capabilities(): util.Set[TableCapability] = Set(TableCapability.BATCH_READ).asJava
+  override def schema(): StructType = OsmPbfSource.schemaFor(options)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  // `_file`: source file path (metadata column, select explicitly) — used by
+  // OsmReplication to recover the osmosis sequence number of a diff row
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def comment(): String = "source .osm.pbf file path"
+    })
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(opts)
@@ -126,7 +147,7 @@ class OsmPbfTable(options: CaseInsensitiveStringMap) extends Table with Supports
 class OsmPbfScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var requiredSchema: StructType = OsmPbfSource.fullSchema
+  private var requiredSchema: StructType = OsmPbfSource.schemaFor(options)
   private var pushed: Array[Filter] = Array.empty
   private var kindsMask: Int = OsmPbfSource.kindsMaskOf(Option(options.get("kind")).getOrElse("all"))
   private var idMin: Long = Long.MinValue
@@ -202,7 +223,26 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
       } else paths.flatMap { p =>
         FrameScanner.scan(p, conf).blobs.filter(keepBlob)
       }
-    // pack pointers into ~target-byte splits, preserving file order
+    OsmPbfScan.pack(ptrs, target)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new OsmPbfMicroBatchStream(options, requiredSchema, kindsMask, idMin, idMax,
+      confS, permissive)
+
+  private def keepBlob(ptr: BlobPointer): Boolean =
+    OsmPbfScan.keepBlob(ptr, kindsMask, idMin, idMax)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfReaderFactory(requiredSchema, kindsMask, confS, permissive)
+}
+
+object OsmPbfScan {
+  /** Pack blob pointers into ~target-byte input splits, preserving file
+    * order (delta chains never cross a blob boundary, so any grouping is
+    * decode-safe; file order keeps reads sequential per partition). */
+  def pack(ptrs: Seq[BlobPointer], target: Long): Array[InputPartition] = {
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     val cur = mutable.ArrayBuffer.empty[BlobPointer]
     var curBytes = 0L
@@ -217,14 +257,6 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
     parts.toArray
   }
 
-  private def keepBlob(ptr: BlobPointer): Boolean =
-    OsmPbfScan.keepBlob(ptr, kindsMask, idMin, idMax)
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new OsmPbfReaderFactory(requiredSchema, kindsMask, confS, permissive)
-}
-
-object OsmPbfScan {
   /** Blob-level pushdown: kind counts + id zone maps (reference F5 fixed).
     * Static so the distributed index scan can ship it without capturing the
     * (non-serializable) Scan instance. */
@@ -251,6 +283,78 @@ object OsmPbfScan {
 }
 
 case class OsmPbfPartition(blobs: Array[BlobPointer]) extends InputPartition
+
+/** Stream offset = the lexically-largest file path already processed.
+  * Osmosis replication names diffs by zero-padded sequence number
+  * (000000001.osm.pbf, …, header_block.rs:33-71 replication_sequence), so
+  * lexical order IS sequence order and a single string is a complete,
+  * restart-safe offset. */
+case class OsmPbfOffset(lastFile: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val esc = lastFile.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"lastFile":"$esc"}"""
+  }
+}
+
+object OsmPbfOffset {
+  def fromJson(json: String): OsmPbfOffset = {
+    val m = """\{"lastFile":"(.*)"\}""".r
+    json match {
+      case m(v) => OsmPbfOffset(v.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case _ => throw new IllegalArgumentException(s"bad osmpbf offset: $json")
+    }
+  }
+}
+
+/** Micro-batch streaming read: `spark.readStream.format("osmpbf").load(dir)`
+  * tails a directory of replication .osm.pbf files — the Spark re-grounding
+  * of the reference's osmosis replication-stream model (header fields
+  * replication_sequence/timestamp/base_url, header_block.rs:33-71). Each
+  * trigger processes the files that appeared since the last committed
+  * offset; with checkpointing the stream resumes mid-sequence after a crash.
+  * Requires diff files to arrive with lexically increasing names (the
+  * osmosis convention); a file sorting BELOW the committed offset is never
+  * picked up, matching osmosis semantics where sequence numbers only grow.
+  */
+class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
+    requiredSchema: StructType, kindsMask: Int, idMin: Long, idMax: Long,
+    confS: graft.util.SerializableHadoopConf, permissive: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val target =
+    Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(32L * 1024 * 1024)
+
+  private def listFiles(): Seq[String] =
+    try OsmPbfSource.resolvePaths(options.get("path"), confS.value).sorted
+    catch { case _: java.io.FileNotFoundException => Nil } // dir not created yet
+
+  override def initialOffset(): Offset = OsmPbfOffset("")
+
+  override def latestOffset(): Offset = {
+    val fs = listFiles()
+    OsmPbfOffset(if (fs.isEmpty) "" else fs.last)
+  }
+
+  override def deserializeOffset(json: String): Offset = OsmPbfOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[OsmPbfOffset].lastFile
+    val hi = end.asInstanceOf[OsmPbfOffset].lastFile
+    val conf = confS.value
+    val files = listFiles().filter(p => p > lo && p <= hi)
+    val ptrs = files.flatMap(p => FrameScanner.scan(p, conf).blobs
+      .filter(b => OsmPbfScan.keepBlob(b, kindsMask, idMin, idMax)))
+    OsmPbfScan.pack(ptrs, target)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfReaderFactory(requiredSchema, kindsMask, confS, permissive)
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint log
+  override def stop(): Unit = ()
+}
 
 class OsmPbfReaderFactory(requiredSchema: StructType, kindsMask: Int,
     confS: graft.util.SerializableHadoopConf, permissive: Boolean)
@@ -292,7 +396,18 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
   private val posMembers = fieldIndex("members").getOrElse(-1)
   private val posInfo = fieldIndex("info").getOrElse(-1)
   private val posBlobOffset = fieldIndex("blob_offset").getOrElse(-1)
+  private val posFile = fieldIndex("_file").getOrElse(-1) // metadata column
   private val nFields = requiredSchema.length
+  // nested schema pruning (spark.sql.optimizer.nestedSchemaPruning) can hand
+  // us `info`/`members` structs with a SUBSET of fields in any order — rows
+  // must follow the pruned shape, not the full one
+  private val infoFields: Array[String] =
+    if (posInfo < 0) Array.empty
+    else requiredSchema(posInfo).dataType.asInstanceOf[StructType].fieldNames
+  private val memberFields: Array[String] =
+    if (posMembers < 0) Array.empty
+    else requiredSchema(posMembers).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames
 
   private val kindNode = UTF8String.fromString("node")
   private val kindWay = UTF8String.fromString("way")
@@ -322,12 +437,13 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
     buf
   }
 
-  private final class RowHandler(blobOffset: Long) extends PbfCodec.ElementHandler {
+  private final class RowHandler(blobOffset: Long, file: UTF8String) extends PbfCodec.ElementHandler {
     private def baseRow(kind: UTF8String, id: Long): GenericInternalRow = {
       val r = new GenericInternalRow(nFields)
       if (posKind >= 0) r.update(posKind, kind)
       if (posId >= 0) r.setLong(posId, id)
       if (posBlobOffset >= 0) r.setLong(posBlobOffset, blobOffset)
+      if (posFile >= 0) r.update(posFile, file)
       r
     }
 
@@ -344,13 +460,20 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
     private def infoRow(info: PbfCodec.InfoData): InternalRow = {
       if (info == null) null
       else {
-        val r = new GenericInternalRow(6)
-        r.setInt(0, info.version)
-        r.setLong(1, info.tsMillis * 1000L) // TimestampType = micros
-        r.setLong(2, info.changeset)
-        r.setInt(3, info.uid)
-        r.update(4, UTF8String.fromString(info.user))
-        r.setBoolean(5, info.visible)
+        val r = new GenericInternalRow(infoFields.length)
+        var i = 0
+        while (i < infoFields.length) {
+          infoFields(i) match {
+            case "version" => r.setInt(i, info.version)
+            case "ts" => r.setLong(i, info.tsMillis * 1000L) // TimestampType = micros
+            case "changeset" => r.setLong(i, info.changeset)
+            case "uid" => r.setInt(i, info.uid)
+            case "user" => r.update(i, UTF8String.fromString(info.user))
+            case "visible" => r.setBoolean(i, info.visible)
+            case other => throw new IllegalStateException(s"unknown info field $other")
+          }
+          i += 1
+        }
         r
       }
     }
@@ -383,10 +506,17 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
         val ms = new Array[Any](memids.length)
         var i = 0
         while (i < memids.length) {
-          val m = new GenericInternalRow(3)
-          m.setLong(0, memids(i))
-          m.update(1, UTF8String.fromString(roles(i)))
-          m.update(2, UTF8String.fromString(PbfCodec.MemberTypeNames(types(i).toInt)))
+          val m = new GenericInternalRow(memberFields.length)
+          var j = 0
+          while (j < memberFields.length) {
+            memberFields(j) match {
+              case "memid" => m.setLong(j, memids(i))
+              case "role" => m.update(j, UTF8String.fromString(roles(i)))
+              case "mtype" => m.update(j, UTF8String.fromString(PbfCodec.MemberTypeNames(types(i).toInt)))
+              case other => throw new IllegalStateException(s"unknown member field $other")
+            }
+            j += 1
+          }
           ms(i) = m
           i += 1
         }
@@ -414,7 +544,10 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
       try {
         val payload = readPayload(ptr)
         val block = PbfCodec.decodeBlobPayload(payload, 0, payload.length)
-        PbfCodec.decodeBlock(block, new RowHandler(ptr.headerOffset), kindsMask, wantTags, wantInfo)
+        PbfCodec.decodeBlock(block,
+          new RowHandler(ptr.headerOffset,
+            if (posFile >= 0) UTF8String.fromString(ptr.path) else null),
+          kindsMask, wantTags, wantInfo)
       } catch {
         case e: Exception if permissive => decodeErrors += 1
         case e: Exception =>
