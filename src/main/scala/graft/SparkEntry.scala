@@ -215,6 +215,18 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       Ann.lshTopK(queries, corpus, k = 5).select("q_id", "c_id", "rank")
     }),
+    "e4_ann_ivf" -> ((s, dir) => {
+      // full-probe mode (nProbe = nCells): candidate set = whole corpus, so
+      // the IVF plumbing (training, cell assignment, probe join, rerank)
+      // must reproduce exact brute-force results — DuckDB-checkable. The
+      // approximate scale mode (nProbe < nCells) is gated by AnnSpec recall.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      Ann.ivfTopK(queries, corpus, k = 5, nCells = 8, nProbe = 8, iters = 2)
+        .select("q_id", "c_id", "rank")
+    }),
     "e3_near_dup" -> ((s, dir) => {
       // planted duplicates: corpus ∪ (corpus shifted by 10^6) — every
       // vector pairs with its clone at cosine 1.0. Deterministic subset
@@ -415,6 +427,15 @@ object SparkEntry {
          |  MAX(lon) AS max_lon, MAX(lat) AS max_lat, COUNT(*) AS n
          |FROM (${EntryFixtures.lineitemPointsSql})""".stripMargin,
     "e1_ann_brute" ->
+      """SELECT q_id, c_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+    // full-probe IVF ≡ exhaustive search (same SQL ground truth as e1)
+    "e4_ann_ivf" ->
       """SELECT q_id, c_id, rank FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id

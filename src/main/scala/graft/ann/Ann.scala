@@ -104,6 +104,97 @@ object Ann {
       .unionByName(fallback)
   }
 
+  /** Deterministic IVF (inverted-file) coarse quantizer: Lloyd's k-means
+    * over the corpus, seeded from the first `k` vectors in id order (no
+    * RNG — resumable plans must replay identically). All iterations are
+    * DataFrame aggregations: assign = broadcast-centroid argmin (codegen
+    * cosine), update = groupBy(cell) element-wise mean via
+    * `aggregate`/`zip_with` — one narrow shuffle per iteration, never the
+    * cross product. */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = corpus.select(col("c_id"), col("c_vec"))
+      .orderBy("c_id").limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    var it = 0
+    while (it < iters) {
+      val cellOf = nearestCentroidUdf(centroids)
+      // element-wise mean without collecting whole vectors onto a reducer:
+      // (cell, dim) partial sums combine map-side, then the k×dims means
+      // re-assemble into centroid arrays — scales to any corpus size
+      val means = corpus
+        .withColumn("cell", cellOf(col("c_vec")))
+        .select(col("cell"), posexplode(col("c_vec")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg("v").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      // empty cells keep their previous centroid (standard Lloyd practice)
+      centroids = centroids.map { case (i, c) => (i, means.getOrElse(i, c)) }
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearestCentroidUdf(centroids: Array[(Int, Array[Float])]) =
+    udf((vec: Seq[Float]) => {
+      var best = -1
+      var bestSim = Double.MinValue
+      centroids.foreach { case (i, c) =>
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var d = 0
+        while (d < vec.length) {
+          dot += vec(d) * c(d); na += vec(d) * vec(d); nb += c(d) * c(d); d += 1
+        }
+        val sim = dot / math.sqrt(na * nb)
+        if (sim > bestSim || (sim == bestSim && i < best)) { best = i; bestSim = sim }
+      }
+      best
+    })
+
+  private def topCentroidsUdf(centroids: Array[(Int, Array[Float])], nProbe: Int) =
+    udf((vec: Seq[Float]) => {
+      centroids.map { case (i, c) =>
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var d = 0
+        while (d < vec.length) {
+          dot += vec(d) * c(d); na += vec(d) * vec(d); nb += c(d) * c(d); d += 1
+        }
+        (dot / math.sqrt(na * nb), i)
+      }.sortBy { case (sim, i) => (-sim, i) }.take(nProbe).map(_._2)
+    })
+
+  /** IVF top-k: corpus bucketed by nearest centroid; each query probes its
+    * `nProbe` closest cells and reranks exactly. The scale path probes a
+    * fraction of cells (bounded candidates, one (cell) shuffle); with
+    * `nProbe = nCells` the candidate set is the full corpus and results
+    * equal [[bruteForceTopK]] exactly (that mode backs the e4 oracle). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nCells, iters)
+    val cellOf = nearestCentroidUdf(centroids)
+    val probesOf = topCentroidsUdf(centroids, nProbe)
+    val cb = corpus.withColumn("cell", cellOf(col("c_vec")))
+    val qb = queries.withColumn("cell", explode(probesOf(col("q_vec"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    qb.join(cb, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_vec", "c_id", "c_vec").dropDuplicates("q_id", "c_id")
+      .withColumn("cos_sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "cos_sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH blocking +
     * exact verification (the embedding-cosine near-dup of the prompt).
     *

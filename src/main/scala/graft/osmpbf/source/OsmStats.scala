@@ -2,7 +2,6 @@ package graft.osmpbf.source
 
 import graft.osmpbf.codec.FrameScanner
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,15 +11,20 @@ object OsmStats {
 
   /** Per-blob index statistics as a DataFrame — the analog of the
     * reference's `IndexedReader::statistics()` blob-type histogram +
-    * per-blob counts (indexed_reader.rs:261-279). Driver-side frame scan
-    * only (no payload reads). */
+    * per-blob counts (indexed_reader.rs:261-279). Frame scans read only
+    * frame lengths (no payload), and run ON EXECUTORS (one task per file) —
+    * a driver-side loop over a 100-TB directory would serialize hours of
+    * seeks before the first real task. */
   def blobStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val conf = new Configuration()
-    val blobs = OsmPbfSource.resolvePaths(path, conf)
-      .flatMap(p => FrameScanner.scan(p, conf).blobs)
-    blobs.map(b => (b.path, b.blobType, b.headerOffset, b.dataSize.toLong,
+    val confS = new graft.util.SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val paths = OsmPbfSource.resolvePaths(path, confS.value)
+    val blobs = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 2048)))
+      .flatMap(p => FrameScanner.scan(p, confS.value).blobs)
+      .map(b => (b.path, b.blobType, b.headerOffset, b.dataSize.toLong,
         b.nodeCount, b.wayCount, b.relationCount, b.minId, b.maxId))
+    blobs
       .toDF("path", "blob_type", "offset", "data_size",
         "node_count", "way_count", "relation_count", "min_id", "max_id")
       // unknown stats (foreign files / header blobs) surface as NULL, not -1

@@ -29,7 +29,7 @@ object Main {
     val spark = SparkSession.builder().appName("graft-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val snapshot = ImageTable.currentSnapshot(imagesRoot)
+    val snapshot = ImageTable.currentSnapshot(spark, imagesRoot)
     val images = ImageTable.load(spark, imagesRoot)
     val nodes = OsmPbf.nodes(spark, pbfPath).toDF()
     val ways = OsmPbf.ways(spark, pbfPath).toDF()

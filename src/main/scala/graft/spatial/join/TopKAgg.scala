@@ -31,7 +31,11 @@ class TopKAgg(k: Int) extends Aggregator[KnnCand, Seq[KnnCand], Seq[KnnCand]] {
     }
     if (buf.exists(_.id == c.id)) buf
     else {
-      val merged = (buf :+ c).sortBy(x => (x.dist, x.id))
+      // buf is already sorted: single-position insertion, no re-sort
+      var pos = 0
+      while (pos < buf.size &&
+        (buf(pos).dist < c.dist || (buf(pos).dist == c.dist && buf(pos).id < c.id))) pos += 1
+      val merged = (buf.take(pos) :+ c) ++ buf.drop(pos)
       if (merged.size > k) merged.take(k) else merged
     }
   }

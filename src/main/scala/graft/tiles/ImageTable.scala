@@ -3,8 +3,6 @@ package graft.tiles
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Snapshot-versioned Parquet layout with Iceberg-style metadata JSON —
   * the offline stand-in for an Iceberg catalog (SURVEY.md §7.0: no Iceberg
@@ -19,33 +17,31 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 object ImageTable {
 
   def write(df: DataFrame, root: String, snapshotId: Long = 1L): Unit = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
     val dataDir = s"$root/data/snap=$snapshotId"
     df.write.mode("overwrite").parquet(dataDir)
-    val metaDir = Paths.get(s"$root/metadata")
-    Files.createDirectories(metaDir)
-    val files = new java.io.File(dataDir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(f => s"""{"path":"${f.getAbsolutePath}","size":${f.length}}""")
+    // manifest from the Hadoop FS (works on HDFS/S3, not just local disk)
+    val fs = graft.util.HadoopIO.fileSystem(dataDir, conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"""{"path":"${s.getPath.toString}","size":${s.getLen}}""")
     val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
     val meta =
       s"""{"format-version":2,"snapshot-id":$snapshotId,
          |"schema":"$schemaJson",
          |"manifest":[${files.mkString(",")}],
          |"written-at":"deterministic"}""".stripMargin
-    Files.write(metaDir.resolve(s"v$snapshotId.metadata.json"),
-      meta.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.write(metaDir.resolve("current"),
-      snapshotId.toString.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    graft.util.HadoopIO.writeString(s"$root/metadata/v$snapshotId.metadata.json", meta, conf)
+    graft.util.HadoopIO.writeString(s"$root/metadata/current", snapshotId.toString, conf)
   }
 
-  def currentSnapshot(root: String): Long =
-    new String(Files.readAllBytes(Paths.get(s"$root/metadata/current")),
-      StandardCharsets.UTF_8).trim.toLong
+  def currentSnapshot(spark: SparkSession, root: String): Long =
+    graft.util.HadoopIO.readString(s"$root/metadata/current",
+      spark.sessionState.newHadoopConf()).trim.toLong
 
   def load(spark: SparkSession, root: String): DataFrame =
-    loadSnapshot(spark, root, currentSnapshot(root))
+    loadSnapshot(spark, root, currentSnapshot(spark, root))
 
   def loadSnapshot(spark: SparkSession, root: String, snapshotId: Long): DataFrame =
     spark.read.parquet(s"$root/data/snap=$snapshotId")

@@ -81,6 +81,26 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(counts === Set(k.toLong))
   }
 
+  test("IVF full-probe equals brute force; partial probe keeps high recall, bounded candidates") {
+    val k = 5
+    val brute = Ann.bruteForceTopK(queries, corpus, k).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    // nProbe = nCells: candidate set is the whole corpus → exact equality
+    val full = Ann.ivfTopK(queries, corpus, k, nCells = 8, nProbe = 8, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(full === brute)
+    // approximate mode: rank-1 recall stays high on this corpus
+    val approx = Ann.ivfTopK(queries, corpus, k, nCells = 8, nProbe = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val rank1Brute = brute.collect { case (q, 1, c) => q -> c }.toMap
+    val hits = rank1Brute.count { case (q, c) => approx.get((q, 1)).contains(c) }
+    assert(hits.toDouble / rank1Brute.size >= 0.6, s"rank-1 recall $hits/${rank1Brute.size}")
+    // determinism: same inputs → same centroids → same results
+    val again = Ann.ivfTopK(queries, corpus, k, nCells = 8, nProbe = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(again === approx)
+  }
+
   test("near-duplicate pairs finds planted duplicate") {
     import spark.implicits._
     // plant an exact duplicate of vec 0 with id 100000

@@ -72,6 +72,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(verified((1L, 4L)) === 0.0)
   }
 
+  test("exact-dup mega-cluster: linear LSH work, member pairs still complete") {
+    import spark.implicits._
+    // 60 identical docs + 2 unrelated: round 1 pushed 60 rows into every
+    // band bucket (m²/2 candidates); now one representative enters the LSH
+    // join and pairs are expanded back — all 1770 intra pairs at est 1.0
+    val docs = ((1L to 60L).map(i => (i, "the same boilerplate page content here")) ++
+      Seq((100L, "totally different text about something else entirely"),
+        (101L, "yet another unrelated document body with different words"))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.7).collect()
+    assert(pairs.count(r => r.getLong(0) <= 60L && r.getLong(1) <= 60L) === 60 * 59 / 2)
+    assert(pairs.forall(r => r.getDouble(2) >= 0.7))
+    // representatives-only mode (the 100-TB shape): no pair enumeration
+    val reps = Dedup.minhashLsh(docs, threshold = 0.7, expandExactGroups = false)
+    assert(reps.count() === 0) // a single canonical doc has nothing to pair with
+    // a tiny bucket cap must not lose the exact-cluster pairs
+    val capped = Dedup.minhashLsh(docs, threshold = 0.7, maxBucketSize = 2)
+    assert(capped.where(col("a_id") <= 60 && col("b_id") <= 60).count() === 60 * 59 / 2)
+  }
+
   test("dedup scales over the driver documents table") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.exact(real)

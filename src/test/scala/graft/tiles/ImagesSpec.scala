@@ -43,7 +43,7 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     val df = Images.synthesize(spark, 200, centers, partitions = 4)
     val root = s"$tmpDir/imageTable"
     ImageTable.write(df, root, snapshotId = 7L)
-    assert(ImageTable.currentSnapshot(root) === 7L)
+    assert(ImageTable.currentSnapshot(spark, root) === 7L)
     val loaded = ImageTable.load(spark, root)
     assert(loaded.count() === 200)
     assert(loaded.columns.toSet === Set("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"))
