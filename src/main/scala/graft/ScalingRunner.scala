@@ -1,0 +1,106 @@
+package graft
+
+import graft.fixtures.OsmWorld
+import graft.osmpbf.source.OsmPbf
+import graft.pipeline.GraftJob
+import graft.spatial.geom.Assembly
+import graft.tiles.ImageTable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One scaling measurement at one parallelism level, in its own JVM.
+  *
+  * Why a separate process: the north-rule evidence compares the SAME job at
+  * N and 4N cores, standing in for two cluster sizes. Running both levels
+  * inside the Bench JVM after its 40-query phase is not reproducible — the
+  * aged heap / JIT code cache slowed the 16-core level by 15-30% while
+  * barely moving the 4-core level (0.87 efficiency from a clean JVM vs 0.71
+  * from a dirty one, same binary, same input). A fresh JVM per level is
+  * both reproducible and closer to what "two separate clusters" means.
+  *
+  * Protocol: args = [cores, imgPath, pbfPath, worldNodes]; prints ONE line
+  * `SCALING_RESULT {"cores":N,"sec":median,"rows":R}` on stdout; the
+  * per-iteration breakdown goes to stderr.
+  */
+object ScalingRunner {
+
+  /** The scaling job: per-image PNG decode parity + spatial PIP join +
+    * per-tile aggregation — the BASELINE.json metric workload. Returns the
+    * number of image rows processed (throughput numerator). */
+  def graftJob(spark: SparkSession, images: DataFrame, polys: DataFrame,
+      centers: Seq[(Double, Double)]): Long = {
+    val t0 = System.nanoTime()
+    val parityOk = ImageTable.parity(images, centers)
+      .where(col("psnr_db") >= 40.0 && col("caption_ok")).count()
+    val t1 = System.nanoTime()
+    val tiles = GraftJob.run(images, polys, z = 10, res = 12, mode = "salted", salt = 8)
+    tiles.agg(sum("n_images")).collect().head.getLong(0)
+    val t2 = System.nanoTime()
+    System.err.println(f"[bench] parity=${(t1 - t0) / 1e9}%.2fs tiles=${(t2 - t1) / 1e9}%.2fs")
+    parityOk
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(coresS, imgPath, pbfPath, worldNodesS) = args.take(4)
+    val cores = coresS.toInt
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.files.maxPartitionBytes", 16L * 1024 * 1024)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val (_, world) = OsmWorld.cachedPbf(
+      sys.props("java.io.tmpdir") + "/graft-fixtures", 42L, 8, worldNodesS.toInt)
+    val images = s.read.parquet(imgPath)
+    val nodes = OsmPbf.nodes(s, pbfPath).toDF()
+    val ways = OsmPbf.ways(s, pbfPath).toDF()
+    val rels = OsmPbf.relations(s, pbfPath).toDF()
+    val polys = Assembly.polygons(nodes, ways, rels).localCheckpoint()
+    // one untimed full-size warmup (JIT + page cache), then the MEDIAN of
+    // three timed steady-state iterations (median, not best-of — round-1
+    // ADVICE: best-of selection biases the reported efficiency)
+    graftJob(s, images, polys, world.clusterCenters)
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = graftJob(s, images, polys, world.clusterCenters)
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }.sortBy(_._1)
+    val (sec, rows) = runs(runs.size / 2)
+    println(s"""SCALING_RESULT {"cores":$cores,"sec":$sec,"rows":$rows}""")
+    s.stop()
+  }
+
+  /** Parent-side: run one level in a fresh JVM, inheriting this JVM's
+    * classpath and flags (add-opens, heap size, AlwaysPreTouch). */
+  def spawn(cores: Int, imgPath: String, pbfPath: String, worldNodes: Int): (Double, Long) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib")).toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      // honest N-core-box emulation: without this the JVM sizes GC/JIT
+      // thread pools for the FULL machine, so the low-core level gets its
+      // GC and compilation done free on the 28 idle cores — a subsidy a
+      // real N-core cluster node never has, which distorts N vs 4N
+      s"-XX:ActiveProcessorCount=$cores",
+      "-cp", sys.props("java.class.path"),
+      "graft.ScalingRunner", cores.toString, imgPath, pbfPath, worldNodes.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = proc.waitFor()
+    val line = out.linesIterator.find(_.startsWith("SCALING_RESULT ")).getOrElse(
+      throw new IllegalStateException(s"ScalingRunner(cores=$cores) rc=$rc produced no result; output:\n$out"))
+    val body = line.stripPrefix("SCALING_RESULT ")
+    val sec = """"sec":([0-9.Ee+-]+)""".r.findFirstMatchIn(body).get.group(1).toDouble
+    val rows = """"rows":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+    (sec, rows)
+  }
+}

@@ -183,6 +183,12 @@ object SparkEntry {
       TextAnalysis.fingerprint(table(s, dir, "documents"))
         .select(col("doc_id"), col("fingerprint"), col("fingerprint16"))
     }),
+    "d8_bpe_tokens" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+    }),
     "d5_minhash_lsh" -> ((s, dir) => {
       // oracle-omitted (signature hashing not ANSI-SQL-expressible)
       Dedup.minhashLsh(table(s, dir, "documents"), threshold = 0.5)
@@ -434,6 +440,13 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id) t
         |WHERE rank <= 5""".stripMargin,
+    // same lookahead-free pattern evaluated by RE2; '' escapes the quote
+    "d8_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
     // full-probe IVF ≡ exhaustive search (same SQL ground truth as e1)
     "e4_ann_ivf" ->
       """SELECT q_id, c_id, rank FROM (

@@ -39,7 +39,7 @@ object SpatialJoin {
     * @param polys   polygons table (id, rings, tags, bbox, ...)
     * @param res     cell resolution for the equi-join (higher = finer cover,
     *                fewer false candidates, more polygon replication)
-    * @param mode    "broadcast" | "shuffle" | "salted"
+    * @param mode    "broadcast" | "shuffle" | "salted" | "auto" (size-based pick)
     * @param salt    replication factor for the salted path
     */
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int = 12,
@@ -52,7 +52,19 @@ object SpatialJoin {
     val pts = points.withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
     val exact = F.point_in_polygon(col("lon"), col("lat"), col("rings"))
 
-    val joined = mode match {
+    // "auto": broadcast when Catalyst's size estimate of the exploded
+    // polygon-cell side fits the session's broadcast threshold (a planning-
+    // time stat — no job is run), salted otherwise. Mirrors what AQE would
+    // decide at runtime but commits to the polygon-replication strategy up
+    // front, which the salted path needs.
+    val resolvedMode = if (mode != "auto") mode else {
+      val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        points.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      val est = polyCells.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (threshold > 0 && est <= threshold) "broadcast" else "salted"
+    }
+
+    val joined = resolvedMode match {
       case "broadcast" =>
         pts.join(broadcast(polyCells), Seq("cell"))
       case "shuffle" =>
@@ -204,6 +216,35 @@ object SpatialJoin {
     }
     out
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  /** Persist a cell-keyed DataFrame as a bucketed table so that REPEATED
+    * cell joins (the steady-state shape of a tile-serving or training-data
+    * pipeline: same polygon index probed by every new image batch) are
+    * exchange-free — both sides pre-hashed into the same bucket layout, the
+    * join plans with zero shuffle (asserted in SpatialJoinSpec). Bucket
+    * count should match the downstream shuffle partitioning (≈ cluster
+    * cores at 100 TB). */
+  def writeBucketedByCell(df: DataFrame, table: String, buckets: Int,
+      cellCol: String = "cell"): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, cellCol).sortBy(cellCol)
+      .mode("overwrite").saveAsTable(table)
+
+  /** Exchange-free PIP join between two [[writeBucketedByCell]] tables:
+    * points bucketed by probe cell × polygon cell cover bucketed the same
+    * way. Returns the raw candidate join; apply the exact ray-cast with
+    * `F.point_in_polygon` on the result (already included when the tables
+    * carry `rings`). */
+  def bucketedCellJoin(spark: org.apache.spark.sql.SparkSession,
+      pointsTable: String, polyCellsTable: String): DataFrame = {
+    val pts = spark.table(pointsTable)
+    val pcs = spark.table(polyCellsTable)
+    val joined = pts.join(pcs, Seq("cell"))
+    if (joined.columns.contains("rings"))
+      joined.where(F.point_in_polygon(col("lon"), col("lat"), col("rings")))
+        .drop("rings")
+    else joined
   }
 
   /** Range-partition a cell-keyed DataFrame by Z-order of the cell — the

@@ -14,6 +14,20 @@ object TextAnalysis {
     * semantics match DuckDB `len(string_split(text, ' '))`. */
   def tokenCount(text: Column): Column = size(split(text, " ", -1))
 
+  /** GPT-2-shaped BPE pre-tokenizer pattern, restricted to constructs that
+    * behave identically under Java regex and RE2 (no lookahead — RE2 lacks
+    * it), so Spark and the DuckDB oracle count the same tokens: contraction
+    * suffixes, space-prefixed letter runs, digit runs, symbol runs,
+    * residual whitespace. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-style token count — a closer proxy for LLM token budgets than
+    * whitespace splitting (digits and punctuation tokenize separately).
+    * Pure `regexp_extract_all` column arithmetic: codegen, no UDF. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Occurrences of a literal substring, via length arithmetic (SQL-safe). */
   def countOccurrences(text: Column, sub: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), ""))) /

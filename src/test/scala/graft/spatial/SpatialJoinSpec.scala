@@ -89,13 +89,21 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
     val pts = mkPoints(400).cache()
     val ptsLocal = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     val expected = bruteForcePip(ptsLocal)
-    for (mode <- Seq("broadcast", "shuffle", "salted")) {
+    for (mode <- Seq("broadcast", "shuffle", "salted", "auto")) {
       val got = SpatialJoin.pipJoin(pts, polys, res = 12, mode = mode)
         .select("pt_id", "src", "poly_id").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       assert(got === expected, s"mode=$mode got=${got.size} exp=${expected.size}")
     }
     assert(expected.nonEmpty, "fixture must produce at least one PIP hit")
+  }
+
+  test("J3 auto mode picks broadcast for a tiny polygon side") {
+    // fixture polys are a few KB — Catalyst's size estimate must sit far
+    // below the 10MB default threshold and resolve auto → broadcast
+    val plan = SpatialJoin.pipJoin(mkPoints(50), polys, res = 10, mode = "auto")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("J3 broadcast path actually broadcasts") {
@@ -122,6 +130,69 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
         .map { case ((pid, _), i) => (id, pid, i + 1) }
     }.toSet
     assert(got === expected)
+  }
+
+  test("J4 kNN frees its per-round checkpoint blocks (only the result stays persisted)") {
+    import spark.implicits._
+    val pts = mkPoints(60)
+    val pois = nodes.where(map_contains_key(col("tags"), "amenity"))
+      .select(col("id").as("poi_id"), col("lon"), col("lat"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SpatialJoin.knnJoin(pts, pois, k = 2, res = 8, maxRadius = 16)
+    out.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // exactly one new persistent RDD: the returned result's localCheckpoint
+    assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
+  }
+
+  test("consumer load balance: 16 Z-order shards within ±50% of mean (reference SLA)") {
+    // reference end_to_end_integration.rs:174-187: 16 bbox-sharded consumers,
+    // per-consumer element count within 50% of the mean. Our sharding is
+    // Z-order RANGE partitioning, which balances by count even though the
+    // fixture points are cluster-skewed (80% in 4 hot clusters).
+    import graft.spatial.cell.{functions => F}
+    val pts = mkPoints(4000).withColumn("cell", F.cell_of(col("lon"), col("lat"), 12))
+    val sharded = SpatialJoin.repartitionByCellPrefix(pts, "cell", 16)
+    val sizes = sharded.groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 16)
+    val mean = sizes.sum.toDouble / sizes.length
+    sizes.foreach { s =>
+      assert(math.abs(s - mean) <= 0.5 * mean, s"shard size $s vs mean $mean: ${sizes.toSeq}")
+    }
+  }
+
+  test("bucketed cell join is exchange-free and matches the shuffle join") {
+    import graft.spatial.cell.{functions => F}
+    val res = 12
+    val pts = mkPoints(300).withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
+    val pcs = SpatialJoin.polygonCells(
+      polys.withColumnRenamed("id", "poly_id").withColumnRenamed("tags", "poly_tags"), res)
+      .drop("bbox")
+    SpatialJoin.writeBucketedByCell(pts, "bspec_points", buckets = 8)
+    SpatialJoin.writeBucketedByCell(pcs, "bspec_polycells", buckets = 8)
+    // tiny fixture tables would be auto-broadcast (that plan is also
+    // exchange-free only on one side); force the large-table shape the
+    // bucketing claim is about — SMJ over co-bucketed scans, zero shuffles
+    val thresholdWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = SpatialJoin.bucketedCellJoin(spark, "bspec_points", "bspec_polycells")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      val got = joined.select("pt_id", "src", "poly_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expected = SpatialJoin.pipJoin(mkPoints(300), polys, res = res, mode = "shuffle")
+        .select("pt_id", "src", "poly_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdWas)
+      spark.sql("DROP TABLE IF EXISTS bspec_points")
+      spark.sql("DROP TABLE IF EXISTS bspec_polycells")
+    }
   }
 
   test("tile assignment: every PIP hit shares a tile between point and polygon") {

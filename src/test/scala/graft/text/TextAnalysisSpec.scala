@@ -54,6 +54,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(fp(1L).length === 32)
   }
 
+  test("BPE-ish token count matches a driver-side Java-regex tokenization") {
+    import spark.implicits._
+    val texts = Seq(
+      "It's a well-known fact: 42 isn't 6*9!",
+      "  leading spaces and   runs\t\ttabs",
+      "unicode: öäü çà 日本語 12.5%",
+      "", "one")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val p = java.util.regex.Pattern.compile(TextAnalysis.BpeTokenPattern)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val m = p.matcher(t)
+      var n = 0
+      while (m.find()) n += 1
+      assert(got(i.toLong) === n, s"text '$t'")
+    }
+    // sanity: punctuation/digits tokenize separately from words
+    assert(got(0L) > texts(0).split("\\s+").length)
+  }
+
   test("runs over the driver documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.langId(TextAnalysis.qualityFeatures(docs))
