@@ -217,11 +217,13 @@ object Ann {
     val reps = withRep.where(col("_id") === col("_rep")).select(col("_id"), col("_vec"))
     val banded = reps.withColumn("table", explode(array(tables: _*)))
       .withColumn("bucket", bucketUdf(col("_vec"), col("table")))
-    val wB = Window.partitionBy("table", "bucket")
-    val guarded = banded
-      .withColumn("_bsz", count(lit(1)).over(wB))
+    // count guard via partial-aggregated groupBy + broadcast of only the
+    // (rare) oversize buckets — never a window re-shuffle of the banded side
+    val oversize = banded.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucketSize)
+    val guarded = banded.join(broadcast(oversize), Seq("table", "bucket"), "left")
       .withColumn("_sub",
-        when(col("_bsz") > maxBucketSize,
+        when(col("_bsz").isNotNull,
           pmod(xxhash64(col("_id")), ceil(col("_bsz") / maxBucketSize).cast("long")))
           .otherwise(lit(0L)))
       .drop("_bsz")
@@ -237,9 +239,10 @@ object Ann {
     if (!expandExactGroups) repPairs
     else {
       // intra-cluster pairs: identical vectors, cosine computed through the
-      // same expression (bit-identical values to the un-collapsed plan)
+      // same expression (bit-identical values to the un-collapsed plan);
+      // join on the long canonical id, not the vector array
       val intra = withRep.as("x").join(withRep.as("y"),
-          col("x._vec") === col("y._vec") && col("x._id") < col("y._id"))
+          col("x._rep") === col("y._rep") && col("x._id") < col("y._id"))
         .withColumn("cos_sim", cosine(col("x._vec"), col("y._vec")))
         .where(col("cos_sim") >= threshold)
         .select(col("x._id").as("a_id"), col("y._id").as("b_id"), col("cos_sim"))

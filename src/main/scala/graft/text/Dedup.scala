@@ -92,14 +92,22 @@ object Dedup {
     * ubiquitous in web crawls (boilerplate, mirrors) — otherwise produces
     * m²/2 candidate pairs and kills the job at scale. Pairs straddling two
     * sub-buckets of one oversize bucket are candidates only via other
-    * bands/tables (bounded, documented recall trade for bounded work). */
+    * bands/tables (bounded, documented recall trade for bounded work).
+    *
+    * Cost shape: bucket sizes come from a partial-aggregated groupBy (tiny
+    * map-side-combined shuffle), and only the buckets ABOVE the cap — a
+    * handful by construction — broadcast back onto the banded rows. The
+    * banded side is never shuffled for the guard (a window over
+    * (band,bucket) would re-shuffle everything the join is about to
+    * shuffle again). */
   private def subBucketed(banded: DataFrame, bandCols: Seq[String], idCol: String,
       cap: Int): (DataFrame, Seq[String]) = {
-    val w = Window.partitionBy(bandCols.map(col): _*)
-    val withSub = banded
-      .withColumn("_bsz", count(lit(1)).over(w))
+    val keys = bandCols.map(col)
+    val oversize = banded.groupBy(keys: _*)
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > cap)
+    val withSub = banded.join(broadcast(oversize), bandCols, "left")
       .withColumn("_sub",
-        when(col("_bsz") > cap,
+        when(col("_bsz").isNotNull,
           pmod(xxhash64(col(idCol)), ceil(col("_bsz") / cap).cast("long")))
           .otherwise(lit(0L)))
       .drop("_bsz")
@@ -133,12 +141,16 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 100000,
       expandExactGroups: Boolean = true): DataFrame = {
     val numHashes = bands * rows
-    val base = docs.select(col(idCol).as("_id"), col(textCol).as("_text"))
-      .withColumn("_fp", md5(col("_text")))
-    val wFp = Window.partitionBy("_fp")
-    val withRep = base.withColumn("_rep", min(col("_id")).over(wFp))
+    // signatures first (narrow per-row pass — same work round 1 did), then
+    // collapse by the SIGNATURE itself: identical sigs behave identically
+    // in every band and pair at est_jaccard exactly 1.0, so this is
+    // output-invariant, and the collapse window shuffles only (id, sig) —
+    // never the document text
+    val base = docs.select(col(idCol).as("_id"),
+      minhashUdf(numHashes, shingleSize)(col(textCol)).as("sig"))
+    val wSig = Window.partitionBy("sig")
+    val withRep = base.withColumn("_rep", min(col("_id")).over(wSig))
     val reps = withRep.where(col("_id") === col("_rep"))
-      .withColumn("sig", minhashUdf(numHashes, shingleSize)(col("_text")))
       .select(col("_id"), col("sig"))
     // band key: hash of the signature slice — one shuffle on (band, key)
     val banded = reps.select(col("_id"), col("sig"),
@@ -156,7 +168,7 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
     if (!expandExactGroups) repPairs
-    else expandGroups(repPairs, withRep.select(col("_id"), col("_fp"), col("_rep")),
+    else expandGroups(repPairs, withRep.select(col("_id"), col("_rep")),
       lit(1.0).as("est_jaccard"), Seq("est_jaccard"))
   }
 
@@ -164,11 +176,12 @@ object Dedup {
     * pairs (exact duplicates of one another) carry `intraPayload`; cross-
     * group pairs inherit the representative pair's payload columns. Output
     * is identical to running the LSH join over raw documents — exact
-    * duplicates share every band with their representative. */
+    * duplicates share every band with their representative.
+    * `membership` = (_id, _rep); groups join on the (long) canonical id. */
   private def expandGroups(repPairs: DataFrame, membership: DataFrame,
       intraPayload: Column, payloadCols: Seq[String]): DataFrame = {
     val intra = membership.as("x").join(membership.as("y"),
-        col("x._fp") === col("y._fp") && col("x._id") < col("y._id"))
+        col("x._rep") === col("y._rep") && col("x._id") < col("y._id"))
       .select((col("x._id").as("a_id") +: col("y._id").as("b_id") +: Seq(intraPayload)): _*)
     val mem = membership.select(col("_rep"), col("_id"))
     val cross = repPairs
@@ -235,8 +248,7 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
     if (!expandExactGroups) repPairs
-    else expandGroups(repPairs,
-      withRep.select(col("_id"), col("simhash").as("_fp"), col("_rep")),
+    else expandGroups(repPairs, withRep.select(col("_id"), col("_rep")),
       lit(0).as("hamming"), Seq("hamming"))
   }
 
