@@ -89,18 +89,35 @@ object ScalingRunner {
       s"-XX:ActiveProcessorCount=$cores",
       "-cp", sys.props("java.class.path"),
       "graft.ScalingRunner", cores.toString, imgPath, pbfPath, worldNodes.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val rc = proc.waitFor()
-    val line = out.linesIterator.find(_.startsWith("SCALING_RESULT ")).getOrElse(
-      throw new IllegalStateException(s"ScalingRunner(cores=$cores) rc=$rc produced no result; output:\n$out"))
-    val body = line.stripPrefix("SCALING_RESULT ")
-    val sec = """"sec":([0-9.Ee+-]+)""".r.findFirstMatchIn(body).get.group(1).toDouble
-    val rows = """"rows":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
-    (sec, rows)
+    def attempt(): (Double, Long) = {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      // drain stdout on a separate thread so the timed wait below is a real
+      // backstop — a wedged child with an open stdout must not hold the
+      // whole bench (and the driver's JSON line) hostage
+      val outF = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly()
+        throw new IllegalStateException(s"ScalingRunner(cores=$cores) timed out")
+      }
+      val out = outF.get(1, java.util.concurrent.TimeUnit.MINUTES)
+      val line = out.linesIterator.find(_.startsWith("SCALING_RESULT ")).getOrElse(
+        throw new IllegalStateException(
+          s"ScalingRunner(cores=$cores) rc=${proc.exitValue()} produced no result; output:\n$out"))
+      val body = line.stripPrefix("SCALING_RESULT ")
+      val sec = """"sec":([0-9.Ee+-]+)""".r.findFirstMatchIn(body).get.group(1).toDouble
+      val rows = """"rows":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+      (sec, rows)
+    }
+    try attempt() catch {
+      case e: Exception => // one retry: a lost level must not lose the bench
+        System.err.println(s"[bench] ScalingRunner(cores=$cores) failed once (${e.getMessage}); retrying")
+        attempt()
+    }
   }
 }
