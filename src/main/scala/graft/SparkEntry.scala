@@ -183,6 +183,11 @@ object SparkEntry {
       TextAnalysis.fingerprint(table(s, dir, "documents"))
         .select(col("doc_id"), col("fingerprint"), col("fingerprint16"))
     }),
+    "d9_clean_corpus" -> ((s, dir) => {
+      // the composed cleaning pipeline: dedup → quality → langid → filter
+      TextAnalysis.cleanCorpus(table(s, dir, "documents"),
+        lang = "en", minTokens = 3, maxTokens = 5000, minQuality = 0.5)
+    }),
     "d8_bpe_tokens" -> ((s, dir) => {
       table(s, dir, "documents")
         .select(col("doc_id"),
@@ -440,6 +445,9 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id) t
         |WHERE rank <= 5""".stripMargin,
+    // composition of the d1/d2/d3 oracle shapes: dedup window + quality
+    // arithmetic + langid argmax, then the same filters the Spark plan runs
+    "d9_clean_corpus" -> cleanCorpusSql,
     // same lookahead-free pattern evaluated by RE2; '' escapes the quote
     "d8_bpe_tokens" ->
       """SELECT doc_id,
@@ -488,6 +496,47 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.c_id < b.c_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""".stripMargin
   )
+
+  private def cleanCorpusSql: String = {
+    def cnt(w: String): String =
+      s"(length(t) - length(replace(t, ' $w ', ''))) / ${w.length + 2}"
+    def score(words: Seq[String]): String = words.map(cnt).mkString(" + ")
+    val en = score(Seq("the", "and", "of", "is", "with"))
+    val de = score(Seq("der", "die", "und", "ist", "mit"))
+    val fr = score(Seq("le", "la", "et", "est", "avec"))
+    s"""WITH canon AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS _c
+       |    FROM documents)
+       |  WHERE doc_id = _c),
+       |f AS (
+       |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS t,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM canon),
+       |g AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mwl,
+       |    CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 +
+       |         (length(lower(text)) - length(replace(lower(text), ' a ', ''))) / 3 +
+       |         (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 +
+       |         (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT) AS sw,
+       |    $en AS s_en, $de AS s_de, $fr AS s_fr
+       |  FROM f),
+       |g2 AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN GREATEST(s_en, s_de, s_fr) = 0 THEN 'und'
+       |         WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |         WHEN s_de >= s_fr THEN 'de'
+       |         ELSE 'fr' END AS lang_pred,
+       |    LEAST(1.0,
+       |      LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 +
+       |      LEAST(CAST(sw AS DOUBLE) / n_tokens * 8.0, 1.0) * 0.4 +
+       |      CASE WHEN mwl BETWEEN 3.0 AND 9.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+       |  FROM g)
+       |SELECT doc_id, lang_pred, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+       |FROM g2
+       |WHERE lang_pred = 'en' AND n_tokens BETWEEN 3 AND 5000 AND quality_score >= 0.5""".stripMargin
+  }
 
   private def langIdSql: String = {
     def cnt(w: String): String =

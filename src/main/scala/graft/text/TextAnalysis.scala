@@ -81,6 +81,30 @@ object TextAnalysis {
           .otherwise(lit("fr")))
   }
 
+  /** The composed training-data cleaning pass a 100-TB corpus run executes:
+    * exact dedup (keep the canonical copy of each distinct text), language
+    * filter, token-count bounds, quality threshold — in one plan: a single
+    * md5 fingerprint shuffle for dedup, then purely narrow per-row feature
+    * arithmetic and filters (all codegen, no UDFs). Every stage is one of
+    * the oracle-checked operators above, so the COMPOSITION is
+    * oracle-checked too (d9_clean_corpus).
+    *
+    * @return (doc_id, lang_pred, n_tokens, quality_score) for survivors
+    */
+  def cleanCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      lang: String = "en", minTokens: Long = 3, maxTokens: Long = 5000,
+      minQuality: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canonical = docs
+      .withColumn("_canon", min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
+      .where(col(idCol) === col("_canon")).drop("_canon")
+    langId(qualityFeatures(canonical, textCol), textCol)
+      .where(col("lang_pred") === lang &&
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("quality_score") >= minQuality)
+      .select(col(idCol), col("lang_pred"), col("n_tokens"), col("quality_score"))
+  }
+
   /** Document fingerprint: md5 of normalized text (lowercased, trimmed,
     * runs of whitespace collapsed) + a 16-hex-char prefix as a compact
     * join key. */

@@ -75,6 +75,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0L) > texts(0).split("\\s+").length)
   }
 
+  test("cleanCorpus: drops exact dups, off-language, out-of-bounds and low-quality docs") {
+    import spark.implicits._
+    val goodEn = "the quick brown fox and the lazy dog ran with a sense of calm through the field of grass and the woods."
+    val docs = Seq(
+      (1L, goodEn),                                           // keeper
+      (2L, goodEn),                                           // exact dup of 1 → dropped
+      (3L, "der schnelle braune fuchs und die faule katze ist mit dem hund"), // German
+      (4L, "a b"),                                            // too few tokens
+      (5L, "zxqj wvk pfft grr mmh")                           // no markers → 'und'
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanCorpus(docs, minTokens = 3, maxTokens = 50, minQuality = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L) === "en")
+  }
+
   test("runs over the driver documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.langId(TextAnalysis.qualityFeatures(docs))
