@@ -273,6 +273,17 @@ object SparkEntry {
       graft.tiles.Multimodal.audioFeatures(media, windows = 8)
         .select(col("media_id"), col("zero_crossings"))
     }),
+    "m5_audio_wav" -> ((s, dir) => {
+      // REAL audio decode: deterministic RIFF/WAVE PCM fixtures synthesized
+      // on executors, decoded by graft.tiles.Wav (no codec library needed)
+      import s.implicits._
+      val media = s.range(0, 500).map { i =>
+        (f"aud_$i%06d", graft.tiles.Wav.synth(i))
+      }.toDF("media_id", "bytes")
+      graft.tiles.Multimodal.audioFeatures(media, windows = 8)
+        .where(col("real_decode"))
+        .select(col("media_id"), col("zero_crossings"), col("sample_rate"), col("n_samples"))
+    }),
     "m4_video_frames_stub" -> ((s, dir) => {
       val media = images(s, dir).limit(1000)
         .select(col("image_id").as("media_id"), col("bytes"))

@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * Spark-side plumbing).
   *
   * Image decode/resize/feature-extract are REAL (the lock-free Png codec,
-  * with a javax.imageio fallback for foreign formats). Audio/video decode has no codec available offline, so
-  * `audioFeatures` / `videoFrameSample` run a clearly-marked deterministic
-  * fake decoder over the bytes — the schema, partitioning, batch shape and
-  * per-partition execution are the production plumbing; only the inner
-  * `decodeFrame`/`decodeSamples` call is the stub to swap for a codec
-  * library on a real cluster.
+  * with a javax.imageio fallback for foreign formats). Audio is REAL for
+  * RIFF/WAVE PCM payloads (graft.tiles.Wav — PCM needs no codec library);
+  * compressed audio and video have no codec offline, so those paths run a
+  * clearly-marked deterministic fake decoder over the bytes — the schema,
+  * partitioning, batch shape and per-partition execution are the
+  * production plumbing; only the inner `decodeFrame`/`decodeSamples` call
+  * is the stub to swap for a codec library on a real cluster.
   */
 object Multimodal {
 
@@ -76,30 +77,40 @@ object Multimodal {
     out
   }
 
-  /** Audio feature extraction: (media_id, bytes) → RMS energy + zero
-    * crossings over a fixed window count. */
+  /** Audio feature extraction: (media_id, bytes) → per-window RMS energy +
+    * zero crossings + sample metadata. RIFF/WAVE PCM payloads decode for
+    * REAL (graft.tiles.Wav — PCM needs no codec library); anything else
+    * falls through to the clearly-marked deterministic stub (`real_decode`
+    * = false) whose inner call is the swap point for an mp3/aac codec. */
   def audioFeatures(media: DataFrame, windows: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "bytes").map { r =>
-      val samples = fakeSamples(r.getAs[Array[Byte]](1), windows * 256) // ??? real codec here
+      val bytes = r.getAs[Array[Byte]](1)
+      val (samples, rate, real) =
+        if (Wav.isWav(bytes)) {
+          val a = Wav.decode(bytes)
+          (a.samples, a.sampleRate, true)
+        } else (fakeSamples(bytes, windows * 256), 0, false) // ??? real codec here
+      val win = math.max(1, samples.length / windows)
       val rms = new Array[Double](windows)
       var zc = 0L
       var w = 0
       while (w < windows) {
         var acc = 0.0
         var i = 0
-        while (i < 256) {
-          val s = samples(w * 256 + i)
+        val base = w * win
+        while (i < win && base + i < samples.length) {
+          val s = samples(base + i)
           acc += s * s
-          if (i > 0 && (s >= 0) != (samples(w * 256 + i - 1) >= 0)) zc += 1
+          if (i > 0 && (s >= 0) != (samples(base + i - 1) >= 0)) zc += 1
           i += 1
         }
-        rms(w) = math.sqrt(acc / 256)
+        rms(w) = math.sqrt(acc / math.max(1, math.min(win, samples.length - base)))
         w += 1
       }
-      (r.getString(0), rms.toSeq, zc)
-    }.toDF("media_id", "rms_windows", "zero_crossings")
+      (r.getString(0), rms.toSeq, zc, rate, samples.length.toLong, real)
+    }.toDF("media_id", "rms_windows", "zero_crossings", "sample_rate", "n_samples", "real_decode")
   }
 
   /** Video frame sampling: (media_id, bytes) → every k-th "frame" reduced
