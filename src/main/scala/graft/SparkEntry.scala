@@ -273,6 +273,17 @@ object SparkEntry {
       graft.tiles.Multimodal.audioFeatures(media, windows = 8)
         .select(col("media_id"), col("zero_crossings"))
     }),
+    "m6_video_avi" -> ((s, dir) => {
+      // REAL video frame sampling: MPNG AVI fixtures synthesized on
+      // executors, container-walked + per-frame PNG-decoded by graft code
+      import s.implicits._
+      val media = s.range(0, 200).map { i =>
+        (f"vid_$i%06d", graft.tiles.Avi.synth(i, nFrames = 24))
+      }.toDF("media_id", "bytes")
+      graft.tiles.Multimodal.videoFrameSample(media, everyK = 6, frames = 24)
+        .where(col("real_decode"))
+        .select(col("media_id"), size(col("frame_idx")).as("n_sampled"))
+    }),
     "m5_audio_wav" -> ((s, dir) => {
       // REAL audio decode: deterministic RIFF/WAVE PCM fixtures synthesized
       // on executors, decoded by graft.tiles.Wav (no codec library needed)

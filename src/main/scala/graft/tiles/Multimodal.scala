@@ -113,25 +113,38 @@ object Multimodal {
     }.toDF("media_id", "rms_windows", "zero_crossings", "sample_rate", "n_samples", "real_decode")
   }
 
-  /** Video frame sampling: (media_id, bytes) → every k-th "frame" reduced
-    * to a 64-bit aHash-style fingerprint. Frame decode is the stub. */
+  /** Video frame sampling: (media_id, bytes) → every k-th frame reduced to
+    * a 64-bit average-hash fingerprint. MPNG AVI payloads decode for REAL
+    * (graft.tiles.Avi container walk + the lock-free Png codec; only the
+    * sampled frames are decoded — the container walk reads chunk headers,
+    * never frame bodies). Other containers fall through to the
+    * clearly-marked stub (`real_decode` = false), the swap point for an
+    * H.264-class codec library. */
   def videoFrameSample(media: DataFrame, everyK: Int = 10, frames: Int = 100): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "bytes").map { r =>
       val bytes = r.getAs[Array[Byte]](1)
-      val sampled = (0 until frames by everyK).map { f =>
-        // ??? real frame decode here; stub = rolling hash over a byte slice
-        var h = 1469598103934665603L ^ f
-        var i = 0
-        while (i < 64) {
-          h ^= bytes((f * 64 + i) % bytes.length) & 0xffL
-          h *= 1099511628211L
-          i += 1
+      if (Avi.isAvi(bytes)) {
+        val ptrs = Avi.framePointers(bytes)
+        val sampled = ptrs.indices.by(everyK).take(frames).map { f =>
+          (f, Images.aHash(Avi.decodeFrame(bytes, ptrs(f))))
         }
-        (f, h)
+        (r.getString(0), sampled.map(_._1), sampled.map(_._2), true)
+      } else {
+        val sampled = (0 until frames by everyK).map { f =>
+          // ??? real frame decode here; stub = rolling hash over a byte slice
+          var h = 1469598103934665603L ^ f
+          var i = 0
+          while (i < 64) {
+            h ^= bytes((f * 64 + i) % bytes.length) & 0xffL
+            h *= 1099511628211L
+            i += 1
+          }
+          (f, h)
+        }
+        (r.getString(0), sampled.map(_._1), sampled.map(_._2), false)
       }
-      (r.getString(0), sampled.map(_._1), sampled.map(_._2))
-    }.toDF("media_id", "frame_idx", "frame_hash")
+    }.toDF("media_id", "frame_idx", "frame_hash", "real_decode")
   }
 }
