@@ -84,6 +84,22 @@ class SourceSpec extends AnyFunSuite with SparkTestBase {
     assert(h.required_features.contains("DenseNodes"))
   }
 
+  test("pure-SQL surface: CREATE TABLE ... USING osmpbf, pushdown intact") {
+    spark.sql(s"CREATE TABLE osm_sql USING osmpbf OPTIONS (path '$path')")
+    try {
+      val n = spark.sql("SELECT count(*) FROM osm_sql WHERE kind = 'node'")
+        .head().getLong(0)
+      assert(n === world.nodes.size.toLong)
+      val tagged = spark.sql(
+        "SELECT id, tags['amenity'] AS a FROM osm_sql WHERE kind = 'node' AND tags['amenity'] IS NOT NULL")
+      assert(tagged.count() > 0)
+      // the scan under SQL still carries the kind pushdown
+      val plan = spark.sql("SELECT id FROM osm_sql WHERE kind = 'way'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("kinds=2"), plan)
+    } finally spark.sql("DROP TABLE IF EXISTS osm_sql")
+  }
+
   test("multiple files in a directory read as one table") {
     val dir = java.nio.file.Files.createTempDirectory("multi").toString
     val w1 = OsmWorld.generate(seed = 1, nClusters = 1, nodesPerCluster = 30)
