@@ -84,7 +84,14 @@ object Assembly {
 
   /** Unified polygon table: way polygons ∪ relation multipolygons.
     * Way ids and relation ids share a namespace in OSM only per-type, so a
-    * `src` discriminator keeps them unique. */
+    * `src` discriminator keeps them unique.
+    *
+    * The intermediate way-geometry table is cached because BOTH branches of
+    * the union consume it; the cache lives until the session drops it (or
+    * the caller materializes the result — e.g. `localCheckpoint()` — and
+    * calls `spark.catalog.clearCache()`). Polygon geometry is the SMALL
+    * side at planet scale (~10⁷ polygons vs 10¹² images), so a session-
+    * lifetime cache of it is the intended steady state. */
   def polygons(nodes: DataFrame, ways: DataFrame, relations: DataFrame): DataFrame = {
     val wg = wayGeometries(nodes, ways).cache()
     val fromWays = polygonsFromWays(wg).withColumn("src", lit("way"))

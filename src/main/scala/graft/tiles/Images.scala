@@ -100,6 +100,17 @@ object Images {
     override def initialValue(): Png.Decoder = new Png.Decoder()
   }
 
+  /** Run `f` over the decoded raster through the per-thread reused decoder
+    * — zero per-image buffer/Inflater allocation for PNG payloads (the
+    * pattern every per-row image op should use in a hot loop). The raster
+    * view passed to `f` is only valid during the call. */
+  def withDecoded[T](bytes: Array[Byte])(f: Img => T): T =
+    if (Png.isPng(bytes)) {
+      val d = localDecoder.get()
+      d.decode(bytes)
+      f(Img(d.w, d.h, d.px)) // view over the reused buffer (may be longer than w*h)
+    } else f(decode(bytes))
+
   def parityStats(bytes: Array[Byte], idx: Long): ParityStats = {
     if (!Png.isPng(bytes)) { // foreign-format fallback (rare, never the hot path)
       val img = decode(bytes)

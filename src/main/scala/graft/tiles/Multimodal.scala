@@ -26,7 +26,7 @@ object Multimodal {
     val spark = images.sparkSession
     import spark.implicits._
     images.select("image_id", "bytes", "w", "h").map { r =>
-      val img = Images.decode(r.getAs[Array[Byte]](1))
+      Images.withDecoded(r.getAs[Array[Byte]](1)) { img =>
       var lum = 0.0
       var grad = 0.0
       var n = 0L
@@ -48,6 +48,7 @@ object Multimodal {
       (r.getString(0), img.w, img.h,
         img.w == r.getInt(2) && img.h == r.getInt(3),
         lum / n, if (n > img.h) grad / (n - img.h) else 0.0)
+      }
     }.toDF("image_id", "decoded_w", "decoded_h", "dims_ok", "mean_luma", "mean_grad")
   }
 
@@ -56,8 +57,7 @@ object Multimodal {
     val spark = images.sparkSession
     import spark.implicits._
     images.select("image_id", "bytes").map { r =>
-      val img = Images.decode(r.getAs[Array[Byte]](1))
-      val out = Images.resize(img, targetW, targetH)
+      val out = Images.withDecoded(r.getAs[Array[Byte]](1))(Images.resize(_, targetW, targetH))
       (r.getString(0), Images.encodePng(out), targetW, targetH, "png")
     }.toDF("image_id", "bytes", "w", "h", "fmt")
   }
