@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *      driver's local disk.
   *
   * Layout:
-  *   <out>/_staged/_bucket=<cell>/   (bucket-partitioned input copy)
+  *   <out>/staged_input/_bucket=<cell>/   (bucket-partitioned input copy)
   *   <out>/bucket=<cell>/            (parquet output per bucket)
   *   <out>/_ckpt/<cell>.json         (lineage: input snapshot, rows, wall ms)
   *
@@ -59,7 +59,7 @@ object CheckpointedRunner {
       lineage: String = "unspecified",
       failInjector: Long => Unit = _ => ()): Seq[BucketResult] = {
     val conf = spark.sessionState.newHadoopConf()
-    val stagedDir = s"$outDir/_staged"
+    val stagedDir = s"$outDir/staged_input"
     val lineageFile = s"$outDir/_staged_lineage.json"
     val stagedValid = HadoopIO.exists(s"$stagedDir/_SUCCESS", conf) &&
       HadoopIO.exists(lineageFile, conf) &&
