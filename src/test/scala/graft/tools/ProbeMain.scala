@@ -69,6 +69,35 @@ object ProbeMain {
       val sc = graft.osmpbf.codec.FrameScanner.scan(p)
       println("PROBE6 frame-types=" + sc.blobs.map(_.blobType).mkString(","))
     }
+    // replication: batch merge + streamed fold agree
+    locally {
+      val dir = "/tmp/probe-fx/repl"
+      graft.util.HadoopIO.delete(dir, spark.sessionState.newHadoopConf())
+      new java.io.File(dir).mkdirs()
+      def writeDiff(seq: Long, tag: String, ver: Int): Unit = {
+        val w = graft.osmpbf.codec.PbfWriter(f"$dir/$seq%09d.osm.pbf")
+        w.addNode(graft.osmpbf.model.OsmNode(1L, 100L, 100L, 1e-4, 1e-4, Map("name" -> tag),
+          Some(graft.osmpbf.model.OsmInfo(ver, new java.sql.Timestamp(0L), 1L, 1, "u", true)), 0L))
+        w.close()
+      }
+      writeDiff(1L, "v1", 1); writeDiff(2L, "v2", 2)
+      val diffs = spark.read.format("osmpbf").load(dir)
+        .withColumn("seq", graft.osmpbf.source.OsmReplication.seqOfFile(col("_file"))).drop("_file")
+      val merged = graft.osmpbf.source.OsmReplication.applyDiffs(
+        spark.read.format("osmpbf").load(dir).where(lit(false)), diffs)
+      println("PROBE7 replication latest=" +
+        merged.select("tags").collect().map(_.getMap[String, String](0)("name")).mkString(","))
+    }
+    // real WAV + AVI decode through the library surface
+    locally {
+      import spark.implicits._
+      val wav = Seq(("a", graft.tiles.Wav.synth(3L))).toDF("media_id", "bytes")
+      val w = graft.tiles.Multimodal.audioFeatures(wav, 4).select("real_decode", "sample_rate").collect().head
+      val avi = Seq(("v", graft.tiles.Avi.synth(3L, 12))).toDF("media_id", "bytes")
+      val vrow = graft.tiles.Multimodal.videoFrameSample(avi, 4, 12).select("real_decode", "frame_idx").collect().head
+      println("PROBE8 wav-real=" + w.getBoolean(0) + "@" + w.getInt(1) +
+        " avi-real=" + vrow.getBoolean(0) + " frames=" + vrow.getSeq[Int](1).mkString("/"))
+    }
     println("PROBES-DONE")
     spark.stop()
   }
