@@ -1,0 +1,58 @@
+package graft.util
+
+import graft.SparkTestBase
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HadoopIOSpec extends AnyFunSuite with SparkTestBase {
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  test("writeAtomic commits via rename; no temp files remain") {
+    val dir = s"$tmpDir/hio1"
+    HadoopIO.writeAtomic(dir, "out.bin", conf, attemptId = 1L)(_.write("hello".getBytes))
+    assert(HadoopIO.readString(s"$dir/out.bin", conf) === "hello")
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.contains("_temporary")), names.mkString(","))
+  }
+
+  test("speculative/retried attempts: loser keeps the winner's committed file") {
+    val dir = s"$tmpDir/hio2"
+    // attempt 1 commits first
+    HadoopIO.writeAtomic(dir, "part.bin", conf, attemptId = 1L)(_.write("attempt-1".getBytes))
+    // attempt 2 (same partition, later attempt id) races in afterwards —
+    // the loser must never interleave bytes: exactly one whole attempt's
+    // file survives and no temp files are left behind
+    HadoopIO.writeAtomic(dir, "part.bin", conf, attemptId = 2L)(_.write("attempt-2".getBytes))
+    val content = HadoopIO.readString(s"$dir/part.bin", conf)
+    assert(content === "attempt-1" || content === "attempt-2")
+    assert(content.length === 9)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_ == "part.bin") === 1)
+    assert(!names.exists(_.contains("_temporary")), names.mkString(","))
+  }
+
+  test("a failing body leaves no partial final file") {
+    val dir = s"$tmpDir/hio3"
+    intercept[RuntimeException] {
+      HadoopIO.writeAtomic(dir, "bad.bin", conf, attemptId = 7L) { out =>
+        out.write("partial".getBytes)
+        throw new RuntimeException("task died mid-write")
+      }
+    }
+    assert(!HadoopIO.exists(s"$dir/bad.bin", conf))
+    val names = Option(new java.io.File(dir).listFiles()).map(_.map(_.getName)).getOrElse(Array.empty[String])
+    assert(!names.exists(_.contains("_temporary")), names.mkString(","))
+  }
+
+  test("SerializableHadoopConf round-trips custom settings through Java serialization") {
+    val c = spark.sessionState.newHadoopConf()
+    c.set("graft.test.key", "value-42")
+    val wrapped = new SerializableHadoopConf(c)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(wrapped)
+    val back = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[SerializableHadoopConf]
+    assert(back.value.get("graft.test.key") === "value-42")
+  }
+}
