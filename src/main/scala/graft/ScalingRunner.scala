@@ -74,19 +74,48 @@ object ScalingRunner {
     s.stop()
   }
 
-  /** Parent-side: run one level in a fresh JVM, inheriting this JVM's
-    * classpath and flags (add-opens, heap size, AlwaysPreTouch). */
-  def spawn(cores: Int, imgPath: String, pbfPath: String, worldNodes: Int): (Double, Long) = {
-    import scala.jdk.CollectionConverters._
-    val javaBin = sys.props("java.home") + "/bin/java"
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib")).toSeq
-    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+  /** Child heap in GiB: enough for the scaling job (streams the ~12 GB
+    * image fixture through 16 MB partitions; 16 GiB is generous), clamped
+    * to half of what the OS says is actually available so parent + child
+    * can never out-commit physical RAM. Round 2's bench died exactly here:
+    * children inherited the parent's environment-sized `-Xms=-Xmx` (~90 GiB
+    * under the driver's SPARK_DRIVER_MEM) plus `-XX:+AlwaysPreTouch`, so
+    * the first child pre-touched a second full-size heap and the OOM killer
+    * fired at its SparkContext startup (BENCH_r02.json: rc=1, exit 137). */
+  private[graft] def childHeapGb(): Long = {
+    val availGb = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.trim.split("\\s+")(1).toLong / (1024 * 1024) }
+        .getOrElse(Long.MaxValue)
+    } catch { case _: Throwable => Long.MaxValue }
+    math.max(4L, math.min(16L, availGb / 2))
+  }
+
+  /** JVM args for the child: the parent's flags (add-opens, GC choice) MINUS
+    * its heap sizing — children get their own bounded, pre-touched heap. */
+  private[graft] def childJvmArgs(inherited: Seq[String], cores: Int, heapGb: Long): Seq[String] =
+    inherited.filterNot(a =>
+      a.startsWith("-agentlib") || a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        a == "-XX:+AlwaysPreTouch") ++ Seq(
+      s"-Xmx${heapGb}g", s"-Xms${heapGb}g",
+      // pre-touch the BOUNDED heap so page-zeroing still lands at child
+      // startup, never mid-measurement
+      "-XX:+AlwaysPreTouch",
       // honest N-core-box emulation: without this the JVM sizes GC/JIT
       // thread pools for the FULL machine, so the low-core level gets its
       // GC and compilation done free on the 28 idle cores — a subsidy a
       // real N-core cluster node never has, which distorts N vs 4N
-      s"-XX:ActiveProcessorCount=$cores",
+      s"-XX:ActiveProcessorCount=$cores")
+
+  /** Parent-side: run one level in a fresh JVM, inheriting this JVM's
+    * classpath and flags except heap sizing (see childJvmArgs). */
+  def spawn(cores: Int, imgPath: String, pbfPath: String, worldNodes: Int): (Double, Long) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ childJvmArgs(inherited, cores, childHeapGb()) ++ Seq(
       "-cp", sys.props("java.class.path"),
       "graft.ScalingRunner", cores.toString, imgPath, pbfPath, worldNodes.toString)
     def attempt(): (Double, Long) = {

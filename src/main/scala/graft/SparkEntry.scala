@@ -149,15 +149,12 @@ object SparkEntry {
       // Structured Streaming over the same events parquet (AvailableNow
       // batch-replay); result must equal the batch q13 aggregation
       val schema = table(s, dir, "events").schema
-      // the streaming file source needs a directory; expose the single
-      // events.parquet file through a symlinked temp dir
-      val streamDir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-stream", dir.replaceAll("[^a-zA-Z0-9.]", "_"))
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      // the streaming file source needs a directory: stream the sf dir
+      // itself with a glob that admits only the events table — pure Hadoop
+      // FS API, no local-filesystem symlink assumption
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
       val agg = stream
         .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ → event-time
         .withWatermark("ts", "1 hour")

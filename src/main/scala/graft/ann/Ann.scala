@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *   - `lshTopK`: random-hyperplane LSH bucketing (deterministic planes
   *     derived from a seed, computed per-row with no shuffle) → candidates
   *     share a bucket → exact rerank; queries left under-filled fall back
-  *     to brute force. The scale path: bucket join shuffles only
-  *     (query, bucket) keys, never the all-pairs cross product.
+  *     to wide-probe IVF (bounded shuffles, no full-corpus broadcast). The
+  *     scale path: bucket join shuffles only (query, bucket) keys, never
+  *     the all-pairs cross product.
   */
 object Ann {
 
@@ -72,11 +73,12 @@ object Ann {
     bucket
   }
 
-  /** Approximate top-k: LSH bucket candidates + exact rerank + brute-force
-    * fallback for under-filled queries. With `nTables` independent hash
+  /** Approximate top-k: LSH bucket candidates + exact rerank + wide-probe
+    * IVF fallback for under-filled queries. With `nTables` independent hash
     * tables, recall rises without widening any single bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+      nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
+      fallbackCells: Int = 16): DataFrame = {
     val bucketUdf = udf((vec: Seq[Float], table: Int) =>
       lshBucket(vec, nPlanes, seed + table * 7919L))
     val tables = (0 until nTables).map(lit(_))
@@ -95,11 +97,17 @@ object Ann {
       .where(col("rank") <= k)
       .select("q_id", "c_id", "cos_sim", "rank")
 
-    // queries that found < k candidates fall back to exact search
+    // Queries that found < k candidates fall back to IVF with a wide probe
+    // (half the cells) — NOT to broadcast brute force: a skewed plane set
+    // can under-fill many queries at once, and broadcasting the full corpus
+    // for them is a driver OOM at scale. IVF keeps the fallback's candidate
+    // generation to one bounded (cell) shuffle, and its recall at
+    // nProbe = nCells/2 dominates the LSH recall the primary path targets.
     val counts = candidates.groupBy("q_id").agg(count(lit(1)).as("n"))
     val underfilled = queries.join(counts.where(col("n") < k), Seq("q_id"), "left_semi")
       .unionByName(queries.join(counts, Seq("q_id"), "left_anti"))
-    val fallback = bruteForceTopK(underfilled, corpus, k)
+    val fallback = ivfTopK(underfilled, corpus, k,
+      nCells = fallbackCells, nProbe = math.max(1, fallbackCells / 2), iters = 2)
     candidates.join(underfilled.select("q_id"), Seq("q_id"), "left_anti")
       .unionByName(fallback)
   }

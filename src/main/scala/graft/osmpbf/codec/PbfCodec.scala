@@ -87,6 +87,8 @@ object PbfCodec {
     var rawSize = -1
     var zlibFrom = -1
     var zlibLen = -1
+    var zstdFrom = -1
+    var zstdLen = -1
     var unsupportedCodec: String = null
     var t = r.readTag()
     while (t != 0) {
@@ -101,7 +103,11 @@ object PbfCodec {
         case 4 => unsupportedCodec = "lzma"; r.skip(t & 7)
         case 5 => unsupportedCodec = "bzip2 (obsolete per OSMPBF spec)"; r.skip(t & 7)
         case 6 => unsupportedCodec = "lz4"; r.skip(t & 7)
-        case 7 => unsupportedCodec = "zstd"; r.skip(t & 7)
+        // zstd appears on newer planet dumps; /opt/spark/jars ships
+        // zstd-jni, so decode it for real (blob.rs:130-133 declares the
+        // field but the reference also leaves it undecoded)
+        case 7 =>
+          val (s, e) = r.readLenRange(); zstdFrom = s; zstdLen = e - s
         case _ => r.skip(t & 7)
       }
       t = r.readTag()
@@ -112,10 +118,34 @@ object PbfCodec {
       raw
     } else if (zlibFrom >= 0) {
       inflate(buf, zlibFrom, zlibLen, if (rawSize >= 0) rawSize else MaxMessageSize)
+    } else if (zstdFrom >= 0) {
+      unzstd(buf, zstdFrom, zstdLen, rawSize)
     } else if (unsupportedCodec != null) {
       throw new PbfParseException(
-        s"unsupported blob codec: $unsupportedCodec (this build decodes raw and zlib)")
+        s"unsupported blob codec: $unsupportedCodec (this build decodes raw, zlib and zstd)")
     } else throw new PbfParseException("Blob has neither raw nor zlib_data")
+  }
+
+  /** zstd_data (Blob field 7) → bytes via zstd-jni (ships with Spark). The
+    * OSMPBF spec makes raw_size optional; when absent, the frame header's
+    * declared content size is used, capped at 32 MiB either way. */
+  private def unzstd(buf: Array[Byte], from: Int, len: Int, rawSize: Int): Array[Byte] = {
+    val frame = java.util.Arrays.copyOfRange(buf, from, from + len)
+    val size =
+      if (rawSize >= 0) rawSize.toLong
+      else com.github.luben.zstd.Zstd.getFrameContentSize(frame)
+    if (size < 0 || size > MaxMessageSize)
+      throw new PbfParseException(s"zstd payload size $size invalid or exceeds 32MiB cap")
+    val out = new Array[Byte](size.toInt)
+    val n =
+      try com.github.luben.zstd.Zstd.decompress(out, frame)
+      catch {
+        case e: com.github.luben.zstd.ZstdException =>
+          throw new PbfParseException(s"zstd decode failed: ${e.getMessage}")
+      }
+    if (n != size)
+      throw new PbfParseException(s"zstd payload decoded $n bytes, declared $size")
+    out
   }
 
   // ------------------------------------------------------------ HeaderBlock

@@ -12,7 +12,8 @@ import scala.collection.mutable
   *
   * Framing: `u32_be(len(BlobHeader)) ++ BlobHeader ++ Blob[datasize]`.
   * Payload blocks are zlib-compressed (blob.rs:114-133 ZlibData) unless
-  * `compress=false`. Each BlobHeader carries our indexdata stats message
+  * `compress=false` (raw) or `codec="zstd"` (Blob field 7, seen on newer
+  * planet dumps). Each BlobHeader carries our indexdata stats message
   * (FrameScanner.BlobStats) so blob-level pushdown works on our own files.
   *
   * Coordinate encoding inverts the granularity transform
@@ -27,7 +28,11 @@ final class PbfWriter(
     dateGranularity: Long = 1000L,
     compress: Boolean = true,
     dense: Boolean = true,
-    elementsPerBlock: Int = 8000) {
+    elementsPerBlock: Int = 8000,
+    codec: String = "zlib") {
+
+  require(codec == "zlib" || codec == "zstd",
+    s"unsupported write codec $codec (zlib or zstd)")
 
   private val out = new DataOutputStream(sink)
   private val nodes = mutable.ArrayBuffer.empty[OsmNode]
@@ -240,7 +245,8 @@ final class PbfWriter(
     val blob = new ProtoWriter
     if (compress) {
       blob.varint(2, payload.length.toLong)
-      blob.bytes(3, PbfCodec.deflate(payload))
+      if (codec == "zstd") blob.bytes(7, com.github.luben.zstd.Zstd.compress(payload))
+      else blob.bytes(3, PbfCodec.deflate(payload))
     } else blob.bytes(1, payload)
     val blobBytes = blob.toBytes
 
@@ -267,9 +273,11 @@ object PbfWriter {
       dateGranularity: Long = 1000L,
       compress: Boolean = true,
       dense: Boolean = true,
-      elementsPerBlock: Int = 8000): PbfWriter =
+      elementsPerBlock: Int = 8000,
+      codec: String = "zlib"): PbfWriter =
     new PbfWriter(new BufferedOutputStream(new FileOutputStream(path), 1 << 16),
-      granularity, latOffset, lonOffset, dateGranularity, compress, dense, elementsPerBlock)
+      granularity, latOffset, lonOffset, dateGranularity, compress, dense,
+      elementsPerBlock, codec)
 }
 
 /** Per-block string table with index 0 fixed to "" (string_table.rs:11-16). */

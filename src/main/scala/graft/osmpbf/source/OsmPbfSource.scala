@@ -184,7 +184,8 @@ class OsmPbfScanBuilder(options: CaseInsensitiveStringMap)
 }
 
 class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
-    kindsMask: Int, idMin: Long, idMax: Long) extends Scan with Batch {
+    kindsMask: Int, idMin: Long, idMax: Long) extends Scan with Batch
+    with SupportsReportStatistics {
 
   // Resolved once on the driver at planning time and shipped to executors:
   // the SESSION's Hadoop conf, not `new Configuration()` — otherwise
@@ -198,32 +199,68 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
   override def description(): String =
     s"osmpbf kinds=$kindsMask idRange=[$idMin,$idMax] cols=${requiredSchema.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // Blob index after pushdown pruning, built once (lazily) on the driver and
+  // shared by partition planning AND statistics reporting — the stats must
+  // not cost a second index scan.
+  private lazy val scannedPointers: Seq[BlobPointer] = {
     val conf = confS.value
     val paths = OsmPbfSource.resolvePaths(options.get("path"), conf)
-    val target = Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(32L * 1024 * 1024)
     // Frame-scanning reads only frame LENGTHS (seek-over-payload), but one
     // seek per blob across a 100-TB directory is hours of driver time: past
     // a handful of files the scan itself is distributed over executors and
     // only the (small) pointer lists are collected.
     val distributeFrom =
       Option(options.get("indexScanThreshold")).map(_.toInt).getOrElse(4)
-    val ptrs: Seq[BlobPointer] =
-      if (paths.size >= distributeFrom) {
-        val cs = confS
-        // capture only primitives — `keepBlob _` would drag in `this`
-        // (OsmPbfScan is not serializable, by design)
-        val (km, lo, hi) = (kindsMask, idMin, idMax)
-        org.apache.spark.sql.SparkSession.active.sparkContext
-          .parallelize(paths, math.min(paths.size, 2048))
-          .flatMap(p => FrameScanner.scan(p, cs.value).blobs
-            .filter(b => OsmPbfScan.keepBlob(b, km, lo, hi)))
-          .collect().toSeq
-          .sortBy(p => (p.path, p.headerOffset))
-      } else paths.flatMap { p =>
-        FrameScanner.scan(p, conf).blobs.filter(keepBlob)
-      }
-    OsmPbfScan.pack(ptrs, target)
+    if (paths.size >= distributeFrom) {
+      val cs = confS
+      // capture only primitives — `keepBlob _` would drag in `this`
+      // (OsmPbfScan is not serializable, by design)
+      val (km, lo, hi) = (kindsMask, idMin, idMax)
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .parallelize(paths, math.min(paths.size, 2048))
+        .flatMap(p => FrameScanner.scan(p, cs.value).blobs
+          .filter(b => OsmPbfScan.keepBlob(b, km, lo, hi)))
+        .collect().toSeq
+        .sortBy(p => (p.path, p.headerOffset))
+    } else paths.flatMap { p =>
+      FrameScanner.scan(p, conf).blobs.filter(keepBlob)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(32L * 1024 * 1024)
+    OsmPbfScan.pack(scannedPointers, target)
+  }
+
+  /** Post-pushdown size/row statistics from the blob index, so Catalyst can
+    * auto-broadcast a small (or heavily pruned) PBF side of a join — the
+    * reference analog is the BlobIndex byte/count stats
+    * (indexed_reader.rs:261-279). Row counts come from the writer-embedded
+    * per-blob element counts when present; size is the compressed payload
+    * bytes times a conservative decode-expansion factor, so a table only
+    * broadcasts when it is safely under the threshold. */
+  override def estimateStatistics(): Statistics = {
+    val ptrs = scannedPointers
+    val compressedBytes = ptrs.map(_.dataSize.toLong).sum
+    val allCounted = ptrs.forall(_.nodeCount >= 0)
+    val rows: java.util.OptionalLong =
+      if (allCounted) {
+        var n = 0L
+        ptrs.foreach { p =>
+          if ((kindsMask & PbfCodec.KindNode) != 0) n += p.nodeCount
+          if ((kindsMask & PbfCodec.KindWay) != 0) n += p.wayCount
+          if ((kindsMask & PbfCodec.KindRelation) != 0) n += p.relationCount
+          if ((kindsMask & PbfCodec.KindChangeSet) != 0) n += p.changesetCount
+        }
+        java.util.OptionalLong.of(n)
+      } else java.util.OptionalLong.empty()
+    new Statistics {
+      // zlib on OSM PBF runs ~2x; decoded rows (boxed tags/refs) cost more —
+      // 4x keeps the broadcast decision conservative
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(compressedBytes * 4)
+      override def numRows(): java.util.OptionalLong = rows
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String):
@@ -301,7 +338,18 @@ object OsmPbfOffset {
   def fromJson(json: String): OsmPbfOffset = {
     val m = """\{"lastFile":"(.*)"\}""".r
     json match {
-      case m(v) => OsmPbfOffset(v.replace("\\\"", "\"").replace("\\\\", "\\"))
+      case m(v) =>
+        // single left-to-right pass so json()/fromJson are exact inverses —
+        // sequential replace() mis-decodes a backslash-before-quote (e.g.
+        // the path fragment `\"` escapes to `\\\"` but replace-quote-first
+        // reads it as `\` + `"` + dangling state)
+        val sb = new java.lang.StringBuilder(v.length)
+        var i = 0
+        while (i < v.length) {
+          if (v.charAt(i) == '\\' && i + 1 < v.length) { sb.append(v.charAt(i + 1)); i += 2 }
+          else { sb.append(v.charAt(i)); i += 1 }
+        }
+        OsmPbfOffset(sb.toString)
       case _ => throw new IllegalArgumentException(s"bad osmpbf offset: $json")
     }
   }

@@ -41,9 +41,18 @@ object CheckpointedRunner {
 
   def markerPath(outDir: String, bucket: Long): String = s"$outDir/_ckpt/$bucket.json"
 
-  def isDone(outDir: String, bucket: Long, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+  /** A bucket is done only if its marker says complete AND was written by
+    * the SAME lineage and bucket resolution as the current run — a marker
+    * from an older lineage must not validate (its output is stale). */
+  def isDone(outDir: String, bucket: Long, lineage: String, bucketRes: Int,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val p = markerPath(outDir, bucket)
-    HadoopIO.exists(p, conf) && HadoopIO.readString(p, conf).contains("\"complete\":true")
+    HadoopIO.exists(p, conf) && {
+      val m = HadoopIO.readString(p, conf)
+      m.contains("\"complete\":true") &&
+        m.contains("\"lineage\":\"" + lineage + "\"") &&
+        m.contains("\"bucket_res\":" + bucketRes)
+    }
   }
 
   /** Run `work` once per bucket of `tiled` (a DataFrame with a `tile`
@@ -65,6 +74,17 @@ object CheckpointedRunner {
       HadoopIO.exists(lineageFile, conf) &&
       HadoopIO.readString(lineageFile, conf) == lineage
     if (!stagedValid) {
+      // lineage changed (or first run): everything downstream of the staging
+      // is stale — drop old bucket outputs and markers so a bucket absent
+      // from the NEW bucket list can't survive into readOutput
+      val fs = HadoopIO.fileSystem(outDir, conf)
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      if (fs.exists(outPath)) {
+        fs.listStatus(outPath)
+          .filter(s => s.getPath.getName.startsWith("bucket=") ||
+            s.getPath.getName == "_ckpt")
+          .foreach(s => fs.delete(s.getPath, true))
+      }
       tiled.withColumn("_bucket", F.cell_parent(col("tile"), bucketRes))
         .write.mode("overwrite").partitionBy("_bucket").parquet(stagedDir)
       HadoopIO.writeString(lineageFile, lineage, conf)
@@ -79,7 +99,7 @@ object CheckpointedRunner {
       .sorted.toSeq
 
     val results = buckets.map { b =>
-      if (isDone(outDir, b, conf)) BucketResult(b, -1L, 0L, skipped = true)
+      if (isDone(outDir, b, lineage, bucketRes, conf)) BucketResult(b, -1L, 0L, skipped = true)
       else {
         val t0 = System.nanoTime()
         failInjector(b) // test hook: simulate a crash mid-run

@@ -64,11 +64,19 @@ object Avi {
       while (pos + 8 <= end) {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val len = buf.getInt(pos + 4)
+        // a negative (or overflowing) signed chunk length would stall or
+        // reverse the walk — an executor task spinning forever is worse
+        // than the decode failure it replaces
+        if (len < 0)
+          throw new IllegalArgumentException(s"corrupt RIFF chunk $id: negative length $len")
         val body = pos + 8
         if (body + len > end) return // truncated tail tolerated
         if (id == "LIST") walk(body + 4, body + len)
         else if (id == "00dc" || id == "00db") out += ((body, len))
-        pos = body + len + (len & 1)
+        val next = body + len + (len & 1)
+        if (next <= pos)
+          throw new IllegalArgumentException(s"corrupt RIFF chunk $id: walk did not advance at $pos")
+        pos = next
       }
     }
     walk(12, bytes.length)

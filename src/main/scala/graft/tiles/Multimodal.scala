@@ -69,6 +69,7 @@ object Multimodal {
     * testable; swap `fakeSamples` for a codec call in production. */
   private def fakeSamples(bytes: Array[Byte], n: Int): Array[Float] = {
     val out = new Array[Float](n)
+    if (bytes.isEmpty) return out // zero-length payload → silence, not ÷0
     var i = 0
     while (i < n) {
       out(i) = ((bytes(i % bytes.length) & 0xff) - 128) / 128.0f

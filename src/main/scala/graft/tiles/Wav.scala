@@ -45,6 +45,9 @@ object Wav {
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val len = buf.getInt(pos + 4)
+      // negative lengths pass the truncation check below and stall the walk
+      if (len < 0)
+        throw new IllegalArgumentException(s"corrupt WAV chunk $id: negative length $len")
       val body = pos + 8
       if (body + len > bytes.length)
         throw new IllegalArgumentException(s"truncated WAV chunk $id")
@@ -59,6 +62,7 @@ object Wav {
           bits = buf.getShort(body + 14) & 0xffff
         case "data" =>
           require(bits > 0, "WAV data chunk before fmt chunk")
+          require(channels > 0, s"WAV fmt chunk declares $channels channels")
           val bytesPer = bits / 8
           val frames = len / (bytesPer * channels)
           val out = new Array[Float](frames)

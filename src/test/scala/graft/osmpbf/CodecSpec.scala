@@ -160,6 +160,52 @@ class CodecSpec extends AnyFunSuite with GenSupport {
       PbfFile.read(p2).nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)))
   }
 
+  test("zstd-written .osm.pbf reads identically to zlib (writer codec option)") {
+    val world = OsmWorld.generate(seed = 11, nClusters = 1, nodesPerCluster = 40)
+    def write(path: String, codec: String): Unit = {
+      val w = PbfWriter(path, codec = codec)
+      world.nodes.foreach(w.addNode)
+      world.ways.foreach(w.addWay)
+      w.close()
+    }
+    val pz = tmpFile(".pbf"); val pzs = tmpFile(".pbf")
+    write(pz, "zlib"); write(pzs, "zstd")
+    val a = PbfFile.read(pz); val b = PbfFile.read(pzs)
+    assert(a.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)) ===
+      b.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)))
+    assert(a.ways.sortBy(_.id).map(_.copy(blob_offset = 0L)) ===
+      b.ways.sortBy(_.id).map(_.copy(blob_offset = 0L)))
+  }
+
+  test("zstd blobs decode (Blob field 7, blob.rs:130-133); lzma stays a named error") {
+    val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    val frame = com.github.luben.zstd.Zstd.compress(payload)
+    // with raw_size (field 2) present
+    val w1 = new ProtoWriter
+    w1.varint(2, payload.length.toLong)
+    w1.bytes(7, frame)
+    val b1 = w1.toBytes
+    assert(PbfCodec.decodeBlobPayload(b1, 0, b1.length).toSeq === payload.toSeq)
+    // without raw_size: the zstd frame header's content size is used
+    val w2 = new ProtoWriter
+    w2.bytes(7, frame)
+    val b2 = w2.toBytes
+    assert(PbfCodec.decodeBlobPayload(b2, 0, b2.length).toSeq === payload.toSeq)
+    // raw_size contradicting the frame → error, not silent truncation
+    val w3 = new ProtoWriter
+    w3.varint(2, payload.length.toLong - 1)
+    w3.bytes(7, frame)
+    val b3 = w3.toBytes
+    val e = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b3, 0, b3.length))
+    assert(e.getMessage.contains("zstd"))
+    // still-unsupported codecs name themselves (lzma = field 4)
+    val w4 = new ProtoWriter
+    w4.bytes(4, Array[Byte](1, 2, 3))
+    val b4 = w4.toBytes
+    val e4 = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b4, 0, b4.length))
+    assert(e4.getMessage.contains("lzma"))
+  }
+
   test("coordinate bounds ±90/±180 survive round trip (nano_degree.rs:8-15)") {
     val path = tmpFile(".pbf")
     val mk = (id: Long, latNd: Long, lonNd: Long) =>

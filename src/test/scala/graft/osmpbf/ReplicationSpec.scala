@@ -129,4 +129,19 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(got === expected)
   }
+
+  test("stream offset json()/fromJson are exact inverses on hostile paths") {
+    import graft.osmpbf.source.OsmPbfOffset
+    // the durable-state killer cases: backslash before quote, lone
+    // backslashes, quotes, unicode, empty
+    val paths = Seq(
+      "", "/plain/000000001.osm.pbf",
+      """C:\diffs\000000042.osm.pbf""",
+      """weird\"quote""", """trailing-backslash\\""", "\"", "\\",
+      "s3a://bucket/ü/000000007.osm.pbf")
+    paths.foreach { p =>
+      val off = OsmPbfOffset(p)
+      assert(OsmPbfOffset.fromJson(off.json()) === off, s"path <$p>")
+    }
+  }
 }

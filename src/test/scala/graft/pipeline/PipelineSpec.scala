@@ -50,6 +50,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(CheckpointedRunner.readOutput(spark, outDir).agg(sum("n")).collect().head.getLong(0) === total)
   }
 
+  test("lineage change invalidates old markers: every bucket re-runs, no stale output") {
+    val outDir = s"$tmpDir/ckpt3"
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile").agg(count(lit(1)).as("n"))
+    val r1 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "snap=1")
+    assert(r1.forall(!_.skipped))
+    // new lineage over a DIFFERENT input slice (half the images): old
+    // markers must not validate, and old bucket outputs must not leak into
+    // readOutput even if the new run produces fewer buckets
+    val half = Tiles.assignPoints(images.limit(250), 10)
+    val r2 = CheckpointedRunner.run(spark, half, outDir, work, bucketRes = 2, lineage = "snap=2")
+    assert(r2.forall(!_.skipped), "stale markers from snap=1 validated under snap=2")
+    assert(CheckpointedRunner.readOutput(spark, outDir)
+      .agg(sum("n")).collect().head.getLong(0) === 250L)
+    // same lineage again: now everything skips
+    val r3 = CheckpointedRunner.run(spark, half, outDir, work, bucketRes = 2, lineage = "snap=2")
+    assert(r3.forall(_.skipped))
+  }
+
+  test("bucket_res change invalidates markers too") {
+    val outDir = s"$tmpDir/ckpt4"
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile").agg(count(lit(1)).as("n"))
+    CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "s")
+    val conf = spark.sessionState.newHadoopConf()
+    val buckets = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "s")
+      .map(_.bucket)
+    // a marker written at res=2 must not satisfy a res=3 run's isDone
+    buckets.foreach { b =>
+      assert(CheckpointedRunner.isDone(outDir, b, "s", 2, conf))
+      assert(!CheckpointedRunner.isDone(outDir, b, "s", 3, conf))
+      assert(!CheckpointedRunner.isDone(outDir, b, "other", 2, conf))
+    }
+  }
+
   test("crash mid-run: resume redoes only unfinished buckets (fault tolerance)") {
     val outDir = s"$tmpDir/ckpt2"
     val tiled = Tiles.assignPoints(images, 10)

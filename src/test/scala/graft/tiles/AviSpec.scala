@@ -30,6 +30,19 @@ class AviSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("corrupt negative chunk length throws instead of spinning the walk") {
+    val frames = (0 until 4).map(f => Png.encode(Images.synthPixels(8, 8, 9L + f)))
+    val avi = Avi.encode(frames, 8, 8)
+    val ptrs = Avi.framePointers(avi)
+    // overwrite the first frame chunk's length field with -8 (little endian)
+    val corrupt = avi.clone()
+    val lenOff = ptrs.head._1 - 4
+    java.nio.ByteBuffer.wrap(corrupt, lenOff, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-8)
+    val e = intercept[IllegalArgumentException](Avi.framePointers(corrupt))
+    assert(e.getMessage.contains("negative length"))
+  }
+
   test("videoFrameSample: real decode on AVI, hashes equal the source frames' aHash") {
     import spark.implicits._
     val media = spark.range(0, 20).map(i => (f"vid_$i%06d", Avi.synth(i, nFrames = 24)))

@@ -19,6 +19,22 @@ class WavSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("corrupt WAV chunks: negative length and 0-channel fmt throw clear errors") {
+    val good = Wav.encodePcm16(Array.tabulate(256)(i => (i / 256.0f)), 8000)
+    // data chunk length lives at offset 40 in our canonical writer layout
+    val negLen = good.clone()
+    java.nio.ByteBuffer.wrap(negLen, 40, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-4)
+    val e1 = intercept[IllegalArgumentException](Wav.decode(negLen))
+    assert(e1.getMessage.contains("negative length"))
+    // fmt chunk channel count (offset 22) = 0
+    val zeroCh = good.clone()
+    java.nio.ByteBuffer.wrap(zeroCh, 22, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(0)
+    val e2 = intercept[IllegalArgumentException](Wav.decode(zeroCh))
+    assert(e2.getMessage.contains("channels"))
+  }
+
   test("zero crossings of a pure sine match 2·f·duration ground truth") {
     val rate = 16000
     val f = 440.0
