@@ -100,6 +100,27 @@ class SourceSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS osm_sql")
   }
 
+  test("scan reports post-pushdown statistics; small PBF side auto-broadcasts") {
+    // numRows from writer-embedded per-blob counts, narrowed by the kind
+    // pushdown; sizeInBytes present and positive
+    val scanRel = OsmPbf.raw(spark, path).where(col("kind") === "node")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.getOrElse(fail("no DataSourceV2ScanRelation in optimized plan"))
+    val stats = scanRel.stats
+    assert(stats.rowCount.isDefined, "numRows missing from DSv2 stats")
+    assert(stats.rowCount.get.toLong === world.nodes.size.toLong)
+    assert(stats.sizeInBytes > 0)
+    // the point of SupportsReportStatistics: joining a big table against a
+    // small PBF table must pick BroadcastHashJoin WITHOUT an explicit
+    // broadcast() hint
+    val big = spark.range(0, 100000).withColumnRenamed("id", "nid")
+    val joined = big.join(OsmPbf.raw(spark, path).where(col("kind") === "node"),
+      col("nid") === col("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("multiple files in a directory read as one table") {
     val dir = java.nio.file.Files.createTempDirectory("multi").toString
     val w1 = OsmWorld.generate(seed = 1, nClusters = 1, nodesPerCluster = 30)
