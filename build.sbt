@@ -27,21 +27,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap for forked runs: honor SPARK_DRIVER_MEM but CAP it at 24 GiB. The
+// Heap for forked runs: honor SPARK_DRIVER_MEM but CAP it at 12 GiB. The
 // bench parent pre-touches its whole heap (-Xms + AlwaysPreTouch below) and
 // then spawns fresh child JVMs for the scaling protocol; with an
 // environment-sized heap (the driver sets SPARK_DRIVER_MEM near machine
 // size, ~90g) parent + child out-committed the 125 GiB guest and the OOM
 // killer ended BENCH_r02 (exit 137). The full 44-query sf0.1 phase runs
-// green at the 8g default, so 24 GiB is a 3x margin, and parent(24) +
-// scaling child(<=16, bounded in ScalingRunner) always fits.
+// green at the 8g default (all of round 2 ran there), so 12 GiB is a 1.5x
+// margin, parent(12) + scaling child(<=16, bounded in ScalingRunner) always
+// fits, and the rest of RAM stays page cache for the 4.4 GB image fixture.
 val forkedHeap: String = {
   val spec = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim
   val m = "(?i)^(\\d+)\\s*([gm])b?$".r
   spec match {
     case m(n, u) =>
       val mb = if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong
-      if (mb > 24 * 1024) "24g" else spec
+      if (mb > 12 * 1024) "12g" else spec
     case _ => "8g"
   }
 }

@@ -114,6 +114,16 @@ object Bench {
     // measurements from different windows. Within each run the statistic
     // is still the median of three timed iterations — never
     // best-of-iterations (round-1 ADVICE).
+    // local-iteration escape hatch: skip the ~15-minute scaling protocol
+    // when only the query phase is being tuned (never set by the driver)
+    if (sys.env.contains("GRAFT_BENCH_QUERIES_ONLY")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total0 = results.map(_._2).filter(_ >= 0).sum
+      val json0 = s"""{"metric":"queries only","value":$total0,"unit":"sec","queries":$qs0,"sf":"$sfDir"}"""
+      println(json0)
+      return
+    }
+
     val rounds = (1 to 2).map { _ => (runAt(coresLow), runAt(coresHigh)) }
     def roundEff(r: ((Double, Long), (Double, Long))): Double = {
       val ((sl, rl), (sh, rh)) = r

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *   - `lshTopK`: random-hyperplane LSH bucketing (deterministic planes
   *     derived from a seed, computed per-row with no shuffle) → candidates
   *     share a bucket → exact rerank; queries left under-filled fall back
-  *     to wide-probe IVF (bounded shuffles, no full-corpus broadcast). The
-  *     scale path: bucket join shuffles only (query, bucket) keys, never
-  *     the all-pairs cross product.
+  *     to exact broadcast brute force when the corpus's plan statistics
+  *     prove it small, and to wide-probe IVF (bounded shuffles, no
+  *     full-corpus broadcast) otherwise. The scale path: bucket join
+  *     shuffles only (query, bucket) keys, never the all-pairs cross
+  *     product.
   */
 object Ann {
 
@@ -78,7 +80,7 @@ object Ann {
     * tables, recall rises without widening any single bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
-      fallbackCells: Int = 16): DataFrame = {
+      fallbackCells: Int = 16, smallCorpusBytes: Long = 64L << 20): DataFrame = {
     val bucketUdf = udf((vec: Seq[Float], table: Int) =>
       lshBucket(vec, nPlanes, seed + table * 7919L))
     val tables = (0 until nTables).map(lit(_))
@@ -89,6 +91,10 @@ object Ann {
     val qb = withBuckets(queries, "q_vec")
     val cb = withBuckets(corpus, "c_vec")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    // localCheckpoint AFTER the rank filter: the materialized set is ≤ k
+    // rows per query (small at any scale), and it is read three times below
+    // (under-fill counts, the well-filled side, and the fallback gate) —
+    // without it each read re-runs the bucket join.
     val candidates = qb.join(cb, Seq("table", "bucket"))
       .where(col("q_id") =!= col("c_id"))
       .select("q_id", "q_vec", "c_id", "c_vec").dropDuplicates("q_id", "c_id")
@@ -96,20 +102,34 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "c_id", "cos_sim", "rank")
+      .localCheckpoint()
 
-    // Queries that found < k candidates fall back to IVF with a wide probe
-    // (half the cells) — NOT to broadcast brute force: a skewed plane set
-    // can under-fill many queries at once, and broadcasting the full corpus
-    // for them is a driver OOM at scale. IVF keeps the fallback's candidate
-    // generation to one bounded (cell) shuffle, and its recall at
-    // nProbe = nCells/2 dominates the LSH recall the primary path targets.
+    // Queries that found < k candidates need a fallback. The fallback is
+    // picked from the corpus's Catalyst plan statistics, the same signal
+    // Spark's own join strategy uses:
+    //   - corpus provably small (stats.sizeInBytes ≤ smallCorpusBytes):
+    //     exact brute force with the corpus broadcast — optimal and safe;
+    //   - otherwise: wide-probe IVF (half the cells). NEVER broadcast an
+    //     unbounded corpus: a skewed plane set can under-fill many queries
+    //     at once, and a full-corpus broadcast is a driver OOM at scale.
+    //     IVF keeps candidate generation to one bounded (cell) shuffle.
+    // The whole fallback is gated on an under-fill actually existing — IVF
+    // training collects centroids and runs Lloyd aggregations over the
+    // corpus, real work that must not be paid when every query filled up.
     val counts = candidates.groupBy("q_id").agg(count(lit(1)).as("n"))
     val underfilled = queries.join(counts.where(col("n") < k), Seq("q_id"), "left_semi")
       .unionByName(queries.join(counts, Seq("q_id"), "left_anti"))
-    val fallback = ivfTopK(underfilled, corpus, k,
-      nCells = fallbackCells, nProbe = math.max(1, fallbackCells / 2), iters = 2)
-    candidates.join(underfilled.select("q_id"), Seq("q_id"), "left_anti")
-      .unionByName(fallback)
+    if (underfilled.isEmpty) candidates
+    else {
+      val corpusSmall =
+        corpus.queryExecution.optimizedPlan.stats.sizeInBytes <= smallCorpusBytes
+      val fallback =
+        if (corpusSmall) bruteForceTopK(underfilled, corpus, k)
+        else ivfTopK(underfilled, corpus, k,
+          nCells = fallbackCells, nProbe = math.max(1, fallbackCells / 2), iters = 2)
+      candidates.join(underfilled.select("q_id"), Seq("q_id"), "left_anti")
+        .unionByName(fallback)
+    }
   }
 
   /** Deterministic IVF (inverted-file) coarse quantizer: Lloyd's k-means

@@ -81,6 +81,39 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(counts === Set(k.toLong))
   }
 
+  test("lshTopK scale path: smallCorpusBytes=0 forces the IVF fallback, k rows per query") {
+    import spark.implicits._
+    // same planted-cluster corpus as the recall test, but the fallback is
+    // forced down the no-broadcast IVF branch (what a 100-TB corpus takes)
+    def unit(seed: Int): Array[Double] = {
+      val raw = Array.tabulate(16)(d => Ann.planeComponent(99L, seed, d))
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val rows = for (c <- 0 until 10; m <- 0 until 20) yield {
+      val center = unit(c)
+      val noise = unit(c * 1000 + m + 7)
+      val v = center.zip(noise).map { case (a, b) => (a + 0.15 * b).toFloat }
+      (c * 1000L + m, v.toSeq)
+    }
+    val planted = rows.toDF("c_id", "c_vec").cache()
+    val qs = planted.where(col("c_id") % 1000 < 2)
+      .select(col("c_id").as("q_id"), col("c_vec").as("q_vec")).cache()
+    val k = 3
+    val out = Ann.lshTopK(qs, planted, k, nPlanes = 8, nTables = 6,
+      smallCorpusBytes = 0L).cache()
+    // every query still resolves to exactly k neighbours
+    val counts = out.groupBy("q_id").count().collect().map(_.getLong(1)).toSet
+    assert(counts === Set(k.toLong))
+    // rank-1 recall against exact stays usable through the IVF branch
+    val exact = Ann.bruteForceTopK(qs, planted, k)
+      .where(col("rank") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = out.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = exact.count { case (q, c) => approx.get(q).contains(c) }.toDouble / exact.size
+    assert(recall >= 0.6, s"rank-1 recall $recall via IVF fallback")
+  }
+
   test("IVF full-probe equals brute force; partial probe keeps high recall, bounded candidates") {
     val k = 5
     val brute = Ann.bruteForceTopK(queries, corpus, k).collect()
