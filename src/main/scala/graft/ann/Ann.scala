@@ -246,9 +246,14 @@ object Ann {
     val banded = reps.withColumn("table", explode(array(tables: _*)))
       .withColumn("bucket", bucketUdf(col("_vec"), col("table")))
     // count guard via partial-aggregated groupBy + broadcast of only the
-    // (rare) oversize buckets — never a window re-shuffle of the banded side
+    // (rare) oversize buckets — never a window re-shuffle of the banded
+    // side. The rarity assumption is measured, not silent: the named
+    // observe() records oversize_buckets/oversize_rows/max_bucket_rows at
+    // zero extra cost (see Dedup.guardMetrics).
     val oversize = banded.groupBy("table", "bucket")
       .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucketSize)
+      .observe("ann_bucket_guard", graft.text.Dedup.guardMetrics.head,
+        graft.text.Dedup.guardMetrics.tail: _*)
     val guarded = banded.join(broadcast(oversize), Seq("table", "bucket"), "left")
       .withColumn("_sub",
         when(col("_bsz").isNotNull,

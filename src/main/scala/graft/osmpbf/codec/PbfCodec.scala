@@ -89,7 +89,12 @@ object PbfCodec {
     var zlibLen = -1
     var zstdFrom = -1
     var zstdLen = -1
-    var unsupportedCodec: String = null
+    var lzmaFrom = -1
+    var lzmaLen = -1
+    var bzip2From = -1
+    var bzip2Len = -1
+    var lz4From = -1
+    var lz4Len = -1
     var t = r.readTag()
     while (t != 0) {
       (t >> 3) match {
@@ -97,15 +102,18 @@ object PbfCodec {
         case 2 => rawSize = r.readVarint().toInt
         case 3 =>
           val (s, e) = r.readLenRange(); zlibFrom = s; zlibLen = e - s
-        // declared by the spec / reference (blob.rs:114-133) "for future
-        // use" — name the codec in the error instead of a generic parse
-        // failure, so operators know WHAT to transcode
-        case 4 => unsupportedCodec = "lzma"; r.skip(t & 7)
-        case 5 => unsupportedCodec = "bzip2 (obsolete per OSMPBF spec)"; r.skip(t & 7)
-        case 6 => unsupportedCodec = "lz4"; r.skip(t & 7)
-        // zstd appears on newer planet dumps; /opt/spark/jars ships
-        // zstd-jni, so decode it for real (blob.rs:130-133 declares the
-        // field but the reference also leaves it undecoded)
+        // every codec the OSMPBF spec declares (blob.rs:114-133 lists the
+        // fields "for future use" but the reference decodes none of them):
+        // lzma via org.tukaani.xz, bzip2 via commons-compress, lz4 (standard
+        // frame format — the only public interchange framing) via lz4-java,
+        // zstd via zstd-jni — all four libraries ship with Spark at
+        // /opt/spark/jars
+        case 4 =>
+          val (s, e) = r.readLenRange(); lzmaFrom = s; lzmaLen = e - s
+        case 5 =>
+          val (s, e) = r.readLenRange(); bzip2From = s; bzip2Len = e - s
+        case 6 =>
+          val (s, e) = r.readLenRange(); lz4From = s; lz4Len = e - s
         case 7 =>
           val (s, e) = r.readLenRange(); zstdFrom = s; zstdLen = e - s
         case _ => r.skip(t & 7)
@@ -120,10 +128,50 @@ object PbfCodec {
       inflate(buf, zlibFrom, zlibLen, if (rawSize >= 0) rawSize else MaxMessageSize)
     } else if (zstdFrom >= 0) {
       unzstd(buf, zstdFrom, zstdLen, rawSize)
-    } else if (unsupportedCodec != null) {
-      throw new PbfParseException(
-        s"unsupported blob codec: $unsupportedCodec (this build decodes raw, zlib and zstd)")
+    } else if (lzmaFrom >= 0) {
+      // memlimit is KiB: 64 MiB bounds a hostile header's dictionary demand
+      drainStream("lzma", new org.tukaani.xz.LZMAInputStream(
+        new java.io.ByteArrayInputStream(buf, lzmaFrom, lzmaLen), 64 * 1024), rawSize)
+    } else if (bzip2From >= 0) {
+      drainStream("bzip2",
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(buf, bzip2From, bzip2Len)), rawSize)
+    } else if (lz4From >= 0) {
+      drainStream("lz4", new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(buf, lz4From, lz4Len)), rawSize)
     } else throw new PbfParseException("Blob has neither raw nor zlib_data")
+  }
+
+  /** Stream-codec decode (lzma/bzip2) with the same 32 MiB discipline as the
+    * block codecs: sized exactly by raw_size when declared, otherwise read
+    * in bounded chunks and capped. The stream is constructed INSIDE the try
+    * — both codecs' constructors parse headers and throw IOException on
+    * corrupt input, which must surface as a typed PbfParseException. */
+  private def drainStream(codec: String, mkIn: => java.io.InputStream,
+      rawSize: Int): Array[Byte] = {
+    var in: java.io.InputStream = null
+    try {
+      if (rawSize > MaxMessageSize)
+        throw new PbfParseException(s"$codec raw_size $rawSize exceeds 32MiB cap")
+      in = mkIn
+      val out = new java.io.ByteArrayOutputStream(if (rawSize >= 0) rawSize else 64 * 1024)
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n > 0) {
+        out.write(chunk, 0, n)
+        if (out.size() > MaxMessageSize)
+          throw new PbfParseException(s"$codec payload exceeds 32MiB cap")
+        n = in.read(chunk)
+      }
+      val bytes = out.toByteArray
+      if (rawSize >= 0 && bytes.length != rawSize)
+        throw new PbfParseException(
+          s"$codec payload decoded ${bytes.length} bytes, declared $rawSize")
+      bytes
+    } catch {
+      case e: java.io.IOException =>
+        throw new PbfParseException(s"$codec decode failed: ${e.getMessage}")
+    } finally if (in != null) in.close()
   }
 
   /** zstd_data (Blob field 7) → bytes via zstd-jni (ships with Spark). The

@@ -12,8 +12,10 @@ import scala.collection.mutable
   *
   * Framing: `u32_be(len(BlobHeader)) ++ BlobHeader ++ Blob[datasize]`.
   * Payload blocks are zlib-compressed (blob.rs:114-133 ZlibData) unless
-  * `compress=false` (raw) or `codec="zstd"` (Blob field 7, seen on newer
-  * planet dumps). Each BlobHeader carries our indexdata stats message
+  * `compress=false` (raw) or `codec` selects another spec codec: "zstd"
+  * (field 7, seen on newer planet dumps), "lzma" (field 4), "bzip2"
+  * (field 5, obsolete) or "lz4" (field 6, standard frame format). Each
+  * BlobHeader carries our indexdata stats message
   * (FrameScanner.BlobStats) so blob-level pushdown works on our own files.
   *
   * Coordinate encoding inverts the granularity transform
@@ -31,8 +33,8 @@ final class PbfWriter(
     elementsPerBlock: Int = 8000,
     codec: String = "zlib") {
 
-  require(codec == "zlib" || codec == "zstd",
-    s"unsupported write codec $codec (zlib or zstd)")
+  require(Set("zlib", "zstd", "lzma", "bzip2", "lz4").contains(codec),
+    s"unsupported write codec $codec (zlib, zstd, lzma, bzip2 or lz4)")
 
   private val out = new DataOutputStream(sink)
   private val nodes = mutable.ArrayBuffer.empty[OsmNode]
@@ -245,8 +247,27 @@ final class PbfWriter(
     val blob = new ProtoWriter
     if (compress) {
       blob.varint(2, payload.length.toLong)
-      if (codec == "zstd") blob.bytes(7, com.github.luben.zstd.Zstd.compress(payload))
-      else blob.bytes(3, PbfCodec.deflate(payload))
+      codec match {
+        case "zstd" => blob.bytes(7, com.github.luben.zstd.Zstd.compress(payload))
+        case "lzma" =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val lz = new org.tukaani.xz.LZMAOutputStream(
+            bos, new org.tukaani.xz.LZMA2Options(), payload.length.toLong)
+          lz.write(payload); lz.finish()
+          blob.bytes(4, bos.toByteArray)
+        case "bzip2" =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val bz = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(bos)
+          bz.write(payload); bz.close()
+          blob.bytes(5, bos.toByteArray)
+        case "lz4" =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val lz4 = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          lz4.write(payload); lz4.close()
+          blob.bytes(6, bos.toByteArray)
+        case _ => blob.bytes(3, PbfCodec.deflate(payload))
+      }
     } else blob.bytes(1, payload)
     val blobBytes = blob.toBytes
 

@@ -99,12 +99,23 @@ object Dedup {
     * handful by construction — broadcast back onto the banded rows. The
     * banded side is never shuffled for the guard (a window over
     * (band,bucket) would re-shuffle everything the join is about to
-    * shuffle again). */
-  private def subBucketed(banded: DataFrame, bandCols: Seq[String], idCol: String,
-      cap: Int): (DataFrame, Seq[String]) = {
+    * shuffle again).
+    *
+    * The "oversize buckets are a handful" assumption is MEASURED, not
+    * assumed: a named `observe()` on the oversize side records
+    * `oversize_buckets` / `oversize_rows` / `max_bucket_rows` at zero extra
+    * cost (the aggregation already runs for the guard) — visible in the
+    * Spark UI / event log / any QueryExecutionListener, and assertable via
+    * `df.queryExecution.observedMetrics(guardName)` after an action. Caveat:
+    * when the oversize set is EMPTY, AQE's empty-relation propagation can
+    * eliminate the broadcast subtree and the metric node with it — an
+    * absent metric therefore means zero, never "unmeasured". */
+  private[graft] def subBucketed(banded: DataFrame, bandCols: Seq[String], idCol: String,
+      cap: Int, guardName: String): (DataFrame, Seq[String]) = {
     val keys = bandCols.map(col)
     val oversize = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > cap)
+      .observe(guardName, guardMetrics.head, guardMetrics.tail: _*)
     val withSub = banded.join(broadcast(oversize), bandCols, "left")
       .withColumn("_sub",
         when(col("_bsz").isNotNull,
@@ -113,6 +124,14 @@ object Dedup {
       .drop("_bsz")
     (withSub, bandCols :+ "_sub")
   }
+
+  /** Aggregates for the bucket-guard `observe()` node: one row per OVERSIZE
+    * bucket flows through it, so count = oversize buckets (0 when the guard
+    * never fired), sum = rows inside them, max = the worst bucket. */
+  private[graft] def guardMetrics: Seq[Column] = Seq(
+    count(lit(1)).as("oversize_buckets"),
+    coalesce(sum(col("_bsz")), lit(0L)).as("oversize_rows"),
+    coalesce(max(col("_bsz")), lit(0L)).as("max_bucket_rows"))
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -156,7 +175,8 @@ object Dedup {
     val banded = reps.select(col("_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
-    val (guarded, joinKeys) = subBucketed(banded, Seq("band", "bucket"), "_id", maxBucketSize)
+    val (guarded, joinKeys) =
+      subBucketed(banded, Seq("band", "bucket"), "_id", maxBucketSize, "minhash_bucket_guard")
     val joinCond = joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a._id") < col("b._id")
     val repPairs = guarded.as("a").join(guarded.as("b"), joinCond)
@@ -237,7 +257,8 @@ object Dedup {
     val banded = reps.select(col("_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
         "b -> (simhash >> (b * 16)) & 65535)")).as(Seq("band", "bucket")))
-    val (guarded, joinKeys) = subBucketed(banded, Seq("band", "bucket"), "_id", maxBucketSize)
+    val (guarded, joinKeys) =
+      subBucketed(banded, Seq("band", "bucket"), "_id", maxBucketSize, "simhash_bucket_guard")
     val joinCond = joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
       .reduce(_ && _) && col("a._id") < col("b._id")
     val repPairs = guarded.as("a").join(guarded.as("b"), joinCond)

@@ -160,7 +160,7 @@ class CodecSpec extends AnyFunSuite with GenSupport {
       PbfFile.read(p2).nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)))
   }
 
-  test("zstd-written .osm.pbf reads identically to zlib (writer codec option)") {
+  test("zstd/lzma/bzip2/lz4-written .osm.pbf read identically to zlib (writer codec option)") {
     val world = OsmWorld.generate(seed = 11, nClusters = 1, nodesPerCluster = 40)
     def write(path: String, codec: String): Unit = {
       val w = PbfWriter(path, codec = codec)
@@ -168,16 +168,21 @@ class CodecSpec extends AnyFunSuite with GenSupport {
       world.ways.foreach(w.addWay)
       w.close()
     }
-    val pz = tmpFile(".pbf"); val pzs = tmpFile(".pbf")
-    write(pz, "zlib"); write(pzs, "zstd")
-    val a = PbfFile.read(pz); val b = PbfFile.read(pzs)
-    assert(a.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)) ===
-      b.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)))
-    assert(a.ways.sortBy(_.id).map(_.copy(blob_offset = 0L)) ===
-      b.ways.sortBy(_.id).map(_.copy(blob_offset = 0L)))
+    val pz = tmpFile(".pbf")
+    write(pz, "zlib")
+    val a = PbfFile.read(pz)
+    for (codec <- Seq("zstd", "lzma", "bzip2", "lz4")) {
+      val p = tmpFile(".pbf")
+      write(p, codec)
+      val b = PbfFile.read(p)
+      assert(a.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)) ===
+        b.nodes.sortBy(_.id).map(_.copy(blob_offset = 0L)), s"codec $codec")
+      assert(a.ways.sortBy(_.id).map(_.copy(blob_offset = 0L)) ===
+        b.ways.sortBy(_.id).map(_.copy(blob_offset = 0L)), s"codec $codec")
+    }
   }
 
-  test("zstd blobs decode (Blob field 7, blob.rs:130-133); lzma stays a named error") {
+  test("zstd blobs decode (Blob field 7, blob.rs:130-133); corrupt/unsupported name themselves") {
     val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
     val frame = com.github.luben.zstd.Zstd.compress(payload)
     // with raw_size (field 2) present
@@ -198,12 +203,19 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     val b3 = w3.toBytes
     val e = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b3, 0, b3.length))
     assert(e.getMessage.contains("zstd"))
-    // still-unsupported codecs name themselves (lzma = field 4)
+    // corrupt lzma (field 4) → typed error naming the codec, not a raw
+    // IOException from the stream constructor
     val w4 = new ProtoWriter
     w4.bytes(4, Array[Byte](1, 2, 3))
     val b4 = w4.toBytes
     val e4 = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b4, 0, b4.length))
     assert(e4.getMessage.contains("lzma"))
+    // corrupt lz4 (field 6): bad frame magic → typed error naming the codec
+    val w5 = new ProtoWriter
+    w5.bytes(6, Array[Byte](1, 2, 3))
+    val b5 = w5.toBytes
+    val e5 = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b5, 0, b5.length))
+    assert(e5.getMessage.contains("lz4"))
   }
 
   test("coordinate bounds ±90/±180 survive round trip (nano_degree.rs:8-15)") {

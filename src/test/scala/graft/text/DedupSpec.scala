@@ -88,7 +88,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(reps.count() === 0) // a single canonical doc has nothing to pair with
     // a tiny bucket cap must not lose the exact-cluster pairs
     val capped = Dedup.minhashLsh(docs, threshold = 0.7, maxBucketSize = 2)
+    capped.collect()
     assert(capped.where(col("a_id") <= 60 && col("b_id") <= 60).count() === 60 * 59 / 2)
+    // the guard metric reads ZERO here (or is absent entirely: AQE's
+    // empty-relation propagation eliminates the broadcast subtree — and with
+    // it the CollectMetrics node — exactly when the oversize set is empty),
+    // because the exact-dup collapse removed the mega-cluster before banding
+    // (that IS the linear-work claim, now measured instead of assumed)
+    val m = capped.queryExecution.observedMetrics.get("minhash_bucket_guard")
+    assert(m.forall(_.getAs[Long]("oversize_buckets") === 0L))
+    assert(m.forall(_.getAs[Long]("oversize_rows") === 0L))
+  }
+
+  test("bucket guard reports oversize buckets through observed metrics") {
+    import spark.implicits._
+    // 10 distinct ids in ONE band bucket with cap 3 → the guard must split
+    // into ceil(10/3)=4 sub-buckets AND report exactly one oversize bucket
+    // of 10 rows; a second, small bucket must pass through unsplit
+    val banded = ((1L to 10L).map(i => (i, 0, 7L)) ++ Seq((11L, 1, 9L), (12L, 1, 9L)))
+      .toDF("_id", "band", "bucket")
+    val (guarded, keys) = Dedup.subBucketed(banded, Seq("band", "bucket"), "_id", 3, "g")
+    val rows = guarded.collect()
+    assert(keys === Seq("band", "bucket", "_sub"))
+    val m = guarded.queryExecution.observedMetrics("g")
+    assert(m.getAs[Long]("oversize_buckets") === 1L)
+    assert(m.getAs[Long]("oversize_rows") === 10L)
+    assert(m.getAs[Long]("max_bucket_rows") === 10L)
+    val subs = rows.filter(_.getAs[Int]("band") == 0).map(_.getAs[Long]("_sub")).distinct
+    assert(subs.length > 1 && subs.forall(s => s >= 0 && s < 4))
+    assert(rows.filter(_.getAs[Int]("band") == 1).map(_.getAs[Long]("_sub")).forall(_ == 0L))
   }
 
   test("dedup scales over the driver documents table") {
