@@ -167,6 +167,21 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qname)
     }),
+    "q17_stream_dedup" -> ((s, dir) => {
+      // custom-state streaming (flatMapGroupsWithState): first-seen dedup
+      // over the documents stream; emitted set = DISTINCT fingerprints,
+      // deterministic under any partitioning/batch order
+      val schema = table(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val out = graft.streaming.StreamingDedup.firstSeen(stream)
+      val qname = s"stream_q17_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname).select(col("fingerprint"), col("n_tokens").cast("long").as("n_tokens"))
+    }),
     // ---------------------------------------------------------- documents
     "d1_exact_dedup" -> ((s, dir) => {
       Dedup.exact(table(s, dir, "documents"))
@@ -431,6 +446,10 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS fingerprint,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT doc_id, md5(text) AS fingerprint,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
