@@ -209,6 +209,10 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
     }),
+    "d10_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(table(s, dir, "documents"))
+        .select("doc_id", "n_words", "n_3grams", "n_distinct_3grams", "top_word_count")
+    }),
     "d5_minhash_lsh" -> ((s, dir) => {
       // oracle-omitted (signature hashing not ANSI-SQL-expressible)
       Dedup.minhashLsh(table(s, dir, "documents"), threshold = 0.5)
@@ -496,6 +500,26 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+    "d10_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS grams,
+        |    w[1:500] AS wc
+        |  FROM base
+        |)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(len(grams) AS BIGINT) AS n_3grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_3grams,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(wc),
+        |    x -> len(list_filter(wc, y -> y = x)))), 0) AS BIGINT) AS top_word_count
+        |FROM g""".stripMargin,
     // full-probe IVF ≡ exhaustive search (same SQL ground truth as e1)
     "e4_ann_ivf" ->
       """SELECT q_id, c_id, rank FROM (

@@ -105,6 +105,39 @@ object TextAnalysis {
       .select(col(idCol), col("lang_pred"), col("n_tokens"), col("quality_score"))
   }
 
+  /** Repetition signals for corpus-quality filtering (the Gopher/C4-family
+    * heuristics: heavily self-repeating documents are boilerplate or spam):
+    *
+    *   - `n_3grams` / `n_distinct_3grams`: duplicate word-3-gram fraction is
+    *     `1 - distinct/total` (0 when fewer than 3 words);
+    *   - `top_word_count` / `n_words`: most-frequent-word dominance.
+    *
+    * Emits integer COUNTS, not fractions — callers derive ratios, and
+    * integers keep the DuckDB oracle hash-exact (d10). All pure
+    * higher-order-function column arithmetic: codegen, per-row narrow, no
+    * shuffle — the 100-TB shape. The top-word scan is distinct×filter,
+    * O(cap²) per row, so it runs over the first `topWordCap` words — an
+    * explicit, parameterized bound, not a silent one. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      topWordCap: Int = 500): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("_w", filter(split(lower(t), " ", -1), x => length(x) > lit(0)))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("_g", when(col("n_words") >= 3,
+        transform(sequence(lit(1), (col("n_words") - 2).cast("int")),
+          i => concat_ws(" ", element_at(col("_w"), i),
+            element_at(col("_w"), i + 1), element_at(col("_w"), i + 2))))
+        .otherwise(lit(Array.empty[String])))
+      .withColumn("n_3grams", size(col("_g")).cast("long"))
+      .withColumn("n_distinct_3grams", size(array_distinct(col("_g"))).cast("long"))
+      .withColumn("_wc", slice(col("_w"), 1, topWordCap))
+      .withColumn("top_word_count",
+        coalesce(array_max(transform(array_distinct(col("_wc")),
+          x => size(filter(col("_wc"), y => y === x)))), lit(0)).cast("long"))
+      .drop("_w", "_g", "_wc")
+  }
+
   /** Document fingerprint: md5 of normalized text (lowercased, trimmed,
     * runs of whitespace collapsed) + a 16-hex-char prefix as a compact
     * join key. */

@@ -97,4 +97,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === docs.count())
     assert(out.where(col("quality_score").isNull).count() === 0)
   }
+
+  test("repetition signals: hand-computed 3-gram and top-word counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),           // grams: "a a a" ×2 → 2 total, 1 distinct; top a=4
+      (2L, "one two three four"),// grams: 2 total, 2 distinct; top=1
+      (3L, "x y"),               // <3 words → 0 grams
+      (4L, ""),                  // empty → all zero
+      (5L, "spam spam spam ham spam  spam") // double space filtered; top spam=5
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionSignals(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"), r.getAs[Long]("n_3grams"),
+        r.getAs[Long]("n_distinct_3grams"), r.getAs[Long]("top_word_count")))).toMap
+    assert(m(1L) === ((4L, 2L, 1L, 4L)))
+    assert(m(2L) === ((4L, 2L, 2L, 1L)))
+    assert(m(3L) === ((2L, 0L, 0L, 1L)))
+    assert(m(4L) === ((0L, 0L, 0L, 0L)))
+    assert(m(5L) === ((6L, 4L, 4L, 5L)))
+  }
 }
