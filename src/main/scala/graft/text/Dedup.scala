@@ -43,7 +43,9 @@ object Dedup {
     h
   }
 
-  /** Character shingles of the lowercased text. */
+  /** Character shingles of the lowercased text. Hashes each window in place
+    * (no per-position substring allocation — the signature UDF is the d5
+    * hot loop); output identical to `fnv1a64(t.substring(i, i + size))`. */
   def shingles(text: String, size: Int): Array[Long] = {
     val t = text.toLowerCase
     if (t.length < size) Array(fnv1a64(t))
@@ -51,7 +53,14 @@ object Dedup {
       val out = new Array[Long](t.length - size + 1)
       var i = 0
       while (i + size <= t.length) {
-        out(i) = fnv1a64(t.substring(i, i + size))
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + size) {
+          h ^= t.charAt(j)
+          h *= 0x100000001b3L
+          j += 1
+        }
+        out(i) = h
         i += 1
       }
       out

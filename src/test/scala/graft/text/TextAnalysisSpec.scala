@@ -116,4 +116,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(m(4L) === ((0L, 0L, 0L, 0L)))
     assert(m(5L) === ((6L, 4L, 4L, 5L)))
   }
+
+  test("per-row text operators are narrow: zero Exchange in the physical plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((name, df) <- Seq(
+        "repetitionSignals" -> TextAnalysis.repetitionSignals(docs),
+        "qualityFeatures" -> TextAnalysis.qualityFeatures(docs),
+        "langId" -> TextAnalysis.langId(docs),
+        "fingerprint" -> TextAnalysis.fingerprint(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name shuffles:\n${plan.take(800)}")
+    }
+  }
 }
