@@ -18,9 +18,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * no shuffle beyond the groupByKey exchange every stateful operator needs.
   * At 100-TB corpus scale the state set is the distinct-document count;
   * bound it with the RocksDB state store provider (spills to executor disk)
-  * and, where the product allows windowed dedup, an event-time TTL
-  * (watermark + `GroupStateTimeout.EventTimeTimeout` — not enabled here
-  * because global dedup is the semantics the pipeline wants).
+  * or switch to [[firstSeenWithTTL]], the event-time-timeout variant whose
+  * state holds only the TTL horizon.
   */
 object StreamingDedup {
 
@@ -53,6 +52,58 @@ object StreamingDedup {
           else {
             val first = rows.next()
             state.update(true)
+            Iterator.single(FirstSeen(key, first.n_tokens))
+          }
+      }
+  }
+
+  /** A doc with an event time, for the TTL variant. */
+  final case class TimedDoc(fingerprint: String, n_tokens: Int, ts: java.sql.Timestamp)
+
+  /** Windowed first-seen dedup: the BOUNDED-state variant of [[firstSeen]].
+    * Contract: each fingerprint is emitted at most once per TTL window,
+    * anchored at the EMITTED occurrence's event time — state for a
+    * fingerprint is dropped once the watermark passes that time +
+    * `ttlMillis` (repeats inside the window are suppressed and do NOT
+    * extend it), so the state set holds only the fingerprints first seen
+    * within the TTL horizon. A fingerprint recurring after expiry is
+    * emitted again — the standard windowed-dedup trade for bounded state
+    * on an unbounded 100-TB stream. Requires an event-time column;
+    * `delayThreshold` is the watermark lateness bound. */
+  def firstSeenWithTTL(docs: DataFrame, tsCol: String, ttlMillis: Long,
+      delayThreshold: String = "0 seconds", textCol: String = "text"): Dataset[FirstSeen] = {
+    require(ttlMillis > 0, "TTL must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = docs.select(
+      md5(col(textCol)).as("fingerprint"),
+      size(split(col(textCol), " ", -1)).as("n_tokens"),
+      col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", delayThreshold)
+      .as[TimedDoc]
+    // state = the window's expiry timestamp (ms). It must live in the state,
+    // not just the timeout registration: Spark CANCELS a group's pending
+    // timeout whenever the function is invoked for it, so every suppressed
+    // repeat must RE-ARM the original expiry or the key never expires.
+    fp.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Long, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[TimedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { // horizon passed: forget the fingerprint
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // inside the window: suppress, re-arm the ORIGINAL expiry
+            // (repeats don't extend it); the registered timestamp must sit
+            // strictly beyond the current watermark or the store rejects it
+            state.setTimeoutTimestamp(
+              math.max(state.get, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          } else {
+            val first = rows.next()
+            val expiry = first.ts.getTime + ttlMillis
+            state.update(expiry)
+            state.setTimeoutTimestamp(math.max(expiry, state.getCurrentWatermarkMs() + 1))
             Iterator.single(FirstSeen(key, first.n_tokens))
           }
       }

@@ -63,4 +63,43 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
       Dedup.exact(spark.read.parquet(dir)).select("fingerprint")
         .collect().map(_.getString(0)).toSet))
   }
+
+  test("TTL variant bounds state: expired fingerprints re-emit, live ones stay suppressed") {
+    import spark.implicits._
+    val dir = s"$tmpDir/sdedup-ttl-in"
+    val outDir = s"$tmpDir/sdedup-ttl-out"
+    val ckpt = s"$tmpDir/sdedup-ttl-ckpt"
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    def feed(rows: Seq[(Long, String, java.sql.Timestamp)], first: Boolean): Unit = {
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode(if (first) "overwrite" else "append").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      StreamingDedup.firstSeenWithTTL(
+        spark.readStream.schema(schema).parquet(dir), "ts", ttlMillis = 3600L * 1000)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def emitted(): Seq[String] =
+      spark.read.parquet(outDir).collect().map(_.getAs[String]("fingerprint")).toSeq
+    // run 1 (watermark → 0h): A and B emitted, TTL horizon = 1h
+    feed(Seq((1L, "doc A", ts(0)), (2L, "doc B", ts(0)), (3L, "doc A", ts(0))), first = true)
+    assert(emitted().length === 2)
+    // run 2 (watermark 0h during the batch): A repeats within horizon →
+    // suppressed; C is new → emitted; watermark advances to 3h afterwards
+    feed(Seq((4L, "doc A", ts(3)), (5L, "doc C", ts(3))), first = false)
+    assert(emitted().length === 3)
+    // run 3: watermark (3h) is past A/B's timeout (0h+1h) — their keys get
+    // the hasTimedOut call and are forgotten; D rides above the watermark
+    // (an event AT the watermark is late and dropped) as the batch payload
+    feed(Seq((6L, "doc D", ts(4))), first = false)
+    assert(emitted().length === 4)
+    // run 4: A returns AFTER expiry (and above the 4h watermark) → emitted
+    // a second time
+    feed(Seq((7L, "doc A", ts(5))), first = false)
+    val all = emitted()
+    assert(all.length === 5)
+    assert(all.groupBy(identity).values.map(_.size).toSet === Set(1, 2),
+      "exactly one fingerprint (doc A) emitted twice")
+  }
 }
