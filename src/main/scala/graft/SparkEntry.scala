@@ -213,6 +213,11 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(table(s, dir, "documents"))
         .select("doc_id", "n_words", "n_3grams", "n_distinct_3grams", "top_word_count")
     }),
+    "d11_pii_redact" -> ((s, dir) => {
+      TextAnalysis.piiRedact(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
+    }),
     "d5_minhash_lsh" -> ((s, dir) => {
       // oracle-omitted (signature hashing not ANSI-SQL-expressible)
       Dedup.minhashLsh(table(s, dir, "documents"), threshold = 0.5)
@@ -520,6 +525,16 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(list_distinct(wc),
         |    x -> len(list_filter(wc, y -> y = x)))), 0) AS BIGINT) AS top_word_count
         |FROM g""".stripMargin,
+    "d11_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
     // full-probe IVF ≡ exhaustive search (same SQL ground truth as e1)
     "e4_ann_ivf" ->
       """SELECT q_id, c_id, rank FROM (

@@ -138,6 +138,29 @@ object TextAnalysis {
       .drop("_w", "_g", "_wc")
   }
 
+  /** Email pattern — lookahead-free and `\b`-free where it matters, so Java
+    * regex (Spark) and RE2 (DuckDB oracle) match identically. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic: no octet-range check — PII scrubbing
+    * over-matches by design; RE2-compatible). */
+  val Ipv4Pattern: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction — the scrubbing pass of a corpus pipeline
+    * (C4/CCNet-style): counts emails and IPv4 literals per document and
+    * rewrites them to `<EMAIL>` / `<IP>` placeholders. Pure
+    * `regexp_extract_all` / `regexp_replace` column arithmetic (codegen,
+    * narrow, no shuffle); both patterns are RE2-compatible so the DuckDB
+    * oracle (d11) reproduces counts AND the redacted text byte-for-byte. */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"))
+  }
+
   /** Document fingerprint: md5 of normalized text (lowercased, trimmed,
     * runs of whitespace collapsed) + a 16-hex-char prefix as a compact
     * join key. */

@@ -117,13 +117,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(m(5L) === ((6L, 4L, 4L, 5L)))
   }
 
+  test("pii redaction: emails and ips counted and replaced, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 today"),
+      (2L, "no pii here at all"),
+      (3L, "a@b.io b@c.net 192.168.1.255 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"), r.getAs[String]("redacted")))).toMap
+    assert(out(1L) === ((1L, 1L, "contact <EMAIL> or <IP> today")))
+    assert(out(2L) === ((0L, 0L, "no pii here at all")))
+    assert(out(3L) === ((2L, 2L, "<EMAIL> <EMAIL> <IP> <IP>")))
+  }
+
   test("per-row text operators are narrow: zero Exchange in the physical plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for ((name, df) <- Seq(
         "repetitionSignals" -> TextAnalysis.repetitionSignals(docs),
         "qualityFeatures" -> TextAnalysis.qualityFeatures(docs),
         "langId" -> TextAnalysis.langId(docs),
-        "fingerprint" -> TextAnalysis.fingerprint(docs))) {
+        "fingerprint" -> TextAnalysis.fingerprint(docs),
+        "piiRedact" -> TextAnalysis.piiRedact(docs))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$name shuffles:\n${plan.take(800)}")
     }
