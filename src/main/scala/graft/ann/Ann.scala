@@ -75,12 +75,39 @@ object Ann {
     bucket
   }
 
+  /** Deterministically cap each (keyCols) bucket of `df` to ~`cap` rows by
+    * keeping the id-hash residue-0 stratum — the top-k analog of
+    * [[graft.text.Dedup.subBucketed]]: where near-dup SPLITS an oversize
+    * bucket (keeps every row, loses cross-split pairs), top-k candidate
+    * generation SAMPLES it (bounded join fan-out; queries the sampling
+    * under-fills are caught by the rank-count check and re-answered by the
+    * fallback, so output quality degrades to the fallback's, never to
+    * silence). Only the rare oversize buckets broadcast back; the big side
+    * is never shuffled for the guard, and the oversize set is measured via
+    * the named observe() (Dedup.guardMetrics). */
+  private[graft] def capBuckets(df: DataFrame, keyCols: Seq[String], idCol: String,
+      cap: Int, guardName: String): DataFrame = {
+    val oversize = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > cap)
+      .observe(guardName, graft.text.Dedup.guardMetrics.head,
+        graft.text.Dedup.guardMetrics.tail: _*)
+    df.join(broadcast(oversize), keyCols, "left")
+      .where(col("_bsz").isNull ||
+        pmod(xxhash64(col(idCol)), ceil(col("_bsz") / cap).cast("long")) === 0)
+      .drop("_bsz")
+  }
+
   /** Approximate top-k: LSH bucket candidates + exact rerank + wide-probe
     * IVF fallback for under-filled queries. With `nTables` independent hash
-    * tables, recall rises without widening any single bucket. */
+    * tables, recall rises without widening any single bucket. Corpus-side
+    * hot buckets (a low-entropy vector cluster landing in one bucket of
+    * every table) are capped to ~`maxBucketSize` rows by deterministic
+    * sampling ([[capBuckets]]) — without it a bucket of m corpus rows
+    * shared by q queries costs q·m join rows, the d5-style quadratic. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 12, nTables: Int = 4, seed: Long = 42L,
-      fallbackCells: Int = 16, smallCorpusBytes: Long = 64L << 20): DataFrame = {
+      fallbackCells: Int = 16, smallCorpusBytes: Long = 64L << 20,
+      maxBucketSize: Int = 100000): DataFrame = {
     val bucketUdf = udf((vec: Seq[Float], table: Int) =>
       lshBucket(vec, nPlanes, seed + table * 7919L))
     val tables = (0 until nTables).map(lit(_))
@@ -89,7 +116,8 @@ object Ann {
         .withColumn("bucket", bucketUdf(col(vecCol), col("table")))
 
     val qb = withBuckets(queries, "q_vec")
-    val cb = withBuckets(corpus, "c_vec")
+    val cb = capBuckets(withBuckets(corpus, "c_vec"),
+      Seq("table", "bucket"), "c_id", maxBucketSize, "lsh_topk_bucket_guard")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
     // localCheckpoint AFTER the rank filter: the materialized set is ≤ k
     // rows per query (small at any scale), and it is read three times below

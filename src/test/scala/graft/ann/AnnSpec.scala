@@ -143,4 +143,46 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 100000L)))
   }
+
+  test("capBuckets bounds a hot bucket deterministically and reports it") {
+    import spark.implicits._
+    // one 40-row bucket with cap 10 → ceil(40/10)=4 strata, residue-0 kept
+    // (~10 rows); a 3-row bucket passes through whole
+    val banded = ((1L to 40L).map(i => (i, 0, 5L)) ++
+      (100L to 102L).map(i => (i, 1, 9L))).toDF("c_id", "table", "bucket")
+    val capped = Ann.capBuckets(banded, Seq("table", "bucket"), "c_id", 10, "g")
+    val rows = capped.collect()
+    val hot = rows.filter(_.getAs[Int]("table") == 0)
+    assert(hot.length < 40 && hot.nonEmpty, s"hot bucket kept ${hot.length}")
+    assert(hot.length <= 20, "sampling keeps roughly cap rows") // 40/4 expected ≈ 10
+    assert(rows.count(_.getAs[Int]("table") == 1) === 3, "small bucket untouched")
+    val m = capped.queryExecution.observedMetrics("g")
+    assert(m.getAs[Long]("oversize_buckets") === 1L)
+    assert(m.getAs[Long]("max_bucket_rows") === 40L)
+    // determinism: same input, same survivors
+    assert(Ann.capBuckets(banded, Seq("table", "bucket"), "c_id", 10, "g2")
+      .collect().map(_.getAs[Long]("c_id")).sorted.toSeq ===
+      rows.map(_.getAs[Long]("c_id")).sorted.toSeq)
+  }
+
+  test("lshTopK with a planted hot bucket: capped candidates, still k rows per query") {
+    import spark.implicits._
+    // 300 near-identical vectors land in the same bucket of every table;
+    // a tiny cap forces sampling, and queries the sampling under-fills are
+    // re-answered by the fallback — output stays exactly k per query
+    def vec(seed: Int, eps: Double): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      (0 until 16).map(d => (math.sin(d + 1).toFloat + (r.nextGaussian() * eps).toFloat))
+    }
+    val hot = (0 until 300).map(i => (i.toLong, vec(i, 1e-4)))
+    val spread = (300 until 340).map(i => (i.toLong, vec(i * 7919, 1.0)))
+    val corpus = (hot ++ spread).toDF("c_id", "c_vec")
+    val qs = (0 until 6).map(i => (i.toLong, vec(i, 1e-4))).toDF("q_id", "q_vec")
+    val k = 3
+    val out = Ann.lshTopK(qs, corpus, k, maxBucketSize = 20).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 6L).toSet)
+    assert(byQ.values.forall(_.length == k), "every query answered with exactly k rows")
+    assert(out.forall(_.getAs[Int]("rank") <= k))
+  }
 }

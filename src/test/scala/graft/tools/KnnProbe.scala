@@ -12,6 +12,9 @@ object KnnProbe {
         lit("_"), round(col("lat") * 1000).cast("long"))).cache()
     val pois = graft.EntryFixtures.partPois(spark, "/root/testdata/sf0.1").cache()
     pts.count(); pois.count()
+    // full untimed warmup at the first candidate res so JIT/codegen cost
+    // doesn't land on whichever config happens to run first
+    graft.spatial.join.SpatialJoin.knnJoin(pts, pois, k = 2, res = 8, maxRadius = 16).count()
     for (res <- Seq(8, 9, 10)) {
       val t0 = System.nanoTime()
       val n = graft.spatial.join.SpatialJoin.knnJoin(pts, pois, k = 2, res = res, maxRadius = 16).count()
