@@ -40,11 +40,68 @@ object ImageTable {
     graft.util.HadoopIO.readString(s"$root/metadata/current",
       spark.sessionState.newHadoopConf()).trim.toLong
 
+  /** Data-file paths recorded in a snapshot's metadata manifest. */
+  def manifest(spark: SparkSession, root: String, snapshotId: Long): Seq[String] = {
+    val meta = graft.util.HadoopIO.readString(
+      s"$root/metadata/v$snapshotId.metadata.json", spark.sessionState.newHadoopConf())
+    """"path":"([^"]+)"""".r.findAllMatchIn(meta).map(_.group(1)).toSeq
+  }
+
   def load(spark: SparkSession, root: String): DataFrame =
     loadSnapshot(spark, root, currentSnapshot(spark, root))
 
+  /** Snapshot read THROUGH the manifest (not a directory listing) — the
+    * Iceberg contract that makes fast appends and incremental reads work:
+    * a snapshot is its file list, and files are shared across snapshots. */
   def loadSnapshot(spark: SparkSession, root: String, snapshotId: Long): DataFrame =
-    spark.read.parquet(s"$root/data/snap=$snapshotId")
+    spark.read.parquet(manifest(spark, root, snapshotId): _*)
+
+  /** Fast append (Iceberg-style): writes ONLY the new rows as data files,
+    * then records a new snapshot whose manifest is the parent's file list
+    * plus the new files — no existing data is rewritten or moved, so an
+    * append to a 100-TB table costs only the appended bytes. Returns the
+    * new snapshot id. */
+  def append(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val parent = currentSnapshot(spark, root)
+    val snapshotId = parent + 1
+    val dataDir = s"$root/data/snap=$snapshotId"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fs = graft.util.HadoopIO.fileSystem(dataDir, conf)
+    val newFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"""{"path":"${s.getPath.toString}","size":${s.getLen}}""")
+    val parentMeta = graft.util.HadoopIO.readString(
+      s"$root/metadata/v$parent.metadata.json", conf)
+    val parentManifest = """\{"path":"[^"]+","size":\d+\}""".r
+      .findAllIn(parentMeta).toSeq
+    val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val meta =
+      s"""{"format-version":2,"snapshot-id":$snapshotId,"parent-snapshot-id":$parent,
+         |"schema":"$schemaJson",
+         |"manifest":[${(parentManifest ++ newFiles).mkString(",")}],
+         |"written-at":"deterministic"}""".stripMargin
+    graft.util.HadoopIO.writeString(s"$root/metadata/v$snapshotId.metadata.json", meta, conf)
+    graft.util.HadoopIO.writeString(s"$root/metadata/current", snapshotId.toString, conf)
+    snapshotId
+  }
+
+  /** Incremental read: the rows ADDED between two snapshots — the files in
+    * `toSnapshot`'s manifest that are not in `fromSnapshot`'s. Reads only
+    * the delta (an empty diff is an empty DataFrame with the table schema),
+    * which is what lets a downstream pipeline consume a growing table
+    * without ever rescanning history. */
+  def readIncremental(spark: SparkSession, root: String,
+      fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    val before = manifest(spark, root, fromSnapshot).toSet
+    val delta = manifest(spark, root, toSnapshot).filterNot(before)
+    if (delta.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        loadSnapshot(spark, root, toSnapshot).schema)
+    else spark.read.parquet(delta: _*)
+  }
 
   /** Per-row image parity check vs the deterministic generator
     * (input_hint: "decoded-pixel allclose (PSNR≥40dB for lossy) + caption

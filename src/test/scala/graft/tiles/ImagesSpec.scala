@@ -66,6 +66,33 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json")))
   }
 
+  test("fast append shares parent files; incremental read returns only the delta") {
+    import spark.implicits._
+    val root = s"$tmpDir/imageTable3"
+    val base = Images.synthesize(spark, 50, centers, 2)
+    ImageTable.write(base, root, snapshotId = 1L)
+    val extra = Images.synthesize(spark, 70, centers, 2)
+      .where(substring(col("image_id"), 5, 9).cast("long") >= 50)
+    val snap2 = ImageTable.append(extra, root)
+    assert(snap2 === 2L)
+    // new snapshot = parent rows + appended rows, through the MANIFEST
+    assert(ImageTable.load(spark, root).count() === 70)
+    assert(ImageTable.loadSnapshot(spark, root, 1L).count() === 50) // time travel intact
+    // the append wrote only the delta's files: parent files are SHARED,
+    // not copied — manifest(v2) ⊃ manifest(v1)
+    val m1 = ImageTable.manifest(spark, root, 1L).toSet
+    val m2 = ImageTable.manifest(spark, root, 2L).toSet
+    assert(m1.subsetOf(m2) && m2.size > m1.size)
+    // incremental read: exactly the appended rows, no history rescan
+    val inc = ImageTable.readIncremental(spark, root, 1L, 2L)
+    assert(inc.count() === 20)
+    assert(inc.select("image_id").collect().map(_.getString(0)).toSet ===
+      (50 until 70).map(i => Images.idString(i.toLong)).toSet)
+    // empty diff → empty frame with the table schema
+    val none = ImageTable.readIncremental(spark, root, 2L, 2L)
+    assert(none.count() === 0 && none.schema === inc.schema)
+  }
+
   test("parityStats fused pass ≡ decode→psnrVsSynth + aHash, across reused buffers") {
     // one thread, many sizes in shrinking AND growing order: exercises the
     // per-thread Decoder's grow-only buffer reuse (stale-tail bugs would
