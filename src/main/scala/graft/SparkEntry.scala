@@ -218,6 +218,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_ips"),
           md5(col("redacted")).as("redacted_md5"))
     }),
+    "d12_dup_components" -> ((s, dir) => {
+      // duplicate CLUSTERS from pair edges. Edge set: length-blocking (a
+      // real dedup candidate heuristic — docs with equal whitespace token
+      // counts), chained by consecutive doc_id inside each block, so the
+      // graph has multi-hop chains (worst-case diameter for propagation).
+      // Connected components labels each doc with its canonical min id.
+      val fp = table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("f"))
+      val w = Window.partitionBy("f").orderBy("doc_id")
+      val edges = fp.withColumn("nxt", lead("doc_id", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("doc_id").as("a_id"), col("nxt").as("b_id"))
+      graft.text.Components.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
     "d5_minhash_lsh" -> ((s, dir) => {
       // oracle-omitted (signature hashing not ANSI-SQL-expressible)
       Dedup.minhashLsh(table(s, dir, "documents"), threshold = 0.5)
@@ -535,6 +550,21 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
         |FROM documents""".stripMargin,
+    "d12_dup_components" ->
+      """WITH RECURSIVE fp AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS f FROM documents
+        |), c AS (
+        |  SELECT doc_id, lead(doc_id) OVER (PARTITION BY f ORDER BY doc_id) AS nxt FROM fp
+        |), e AS (
+        |  SELECT doc_id AS a, nxt AS b FROM c WHERE nxt IS NOT NULL
+        |), sym AS (
+        |  SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM sym
+        |  UNION
+        |  SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id
+        |)
+        |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
     // full-probe IVF ≡ exhaustive search (same SQL ground truth as e1)
     "e4_ann_ivf" ->
       """SELECT q_id, c_id, rank FROM (
