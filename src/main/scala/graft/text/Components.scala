@@ -31,6 +31,32 @@ object Components {
     *         and an unconverged labeling must not be returned silently) */
   def connectedComponents(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    // Same discipline as SpatialJoin.knnJoin: AQE re-plans every round of a
+    // driver-side iterative loop and has been observed (Spark 4.1.2 local)
+    // to stall in withFinalPlanUpdate on checkpointed iterations. The
+    // per-round joins are small and fixed-shape — plan them statically and
+    // restore the session setting afterwards (same concurrency caveat as
+    // knnJoin: flip is session-wide for the loop's duration).
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(edges, aCol, bCol, maxIter)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    // per-iteration localCheckpoints pin executor blocks — free everything
+    // this call created except the returned result's own blocks (the same
+    // round-1 leak knnJoin fixes)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    def freeSince(boundary: scala.collection.Set[Int]): Unit = {
+      val toFree = boundary -- preexisting
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (toFree.contains(id)) rdd.unpersist(blocking = false)
+      }
+    }
     val sym = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
@@ -56,9 +82,18 @@ object Components {
       val s = jumped.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
       labels = jumped
       it += 1
-      if (s == checksum) return labels.select(col("id"), col("comp").as("component"))
+      if (s == checksum) {
+        // materialize the result's own blocks, then free every block this
+        // call created before it (per-iteration checkpoints would otherwise
+        // accumulate — the round-1 knnJoin leak)
+        val beforeFinal = spark.sparkContext.getPersistentRDDs.keySet
+        val out = labels.select(col("id"), col("comp").as("component")).localCheckpoint()
+        freeSince(beforeFinal)
+        return out
+      }
       checksum = s
     }
+    freeSince(spark.sparkContext.getPersistentRDDs.keySet)
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations")
   }

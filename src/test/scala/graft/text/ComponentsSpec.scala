@@ -36,4 +36,11 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
   test("empty edge list yields empty labeling, not an error") {
     assert(comps(Seq.empty) === Map.empty)
   }
+
+  test("iteration checkpoints are freed: only the result's blocks remain") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    comps((1L until 100L).map(i => (i, i + 1)))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"leaked checkpoint blocks: $before -> $after")
+  }
 }
