@@ -230,7 +230,9 @@ object SparkEntry {
       val edges = fp.withColumn("nxt", lead("doc_id", 1).over(w))
         .where(col("nxt").isNotNull)
         .select(col("doc_id").as("a_id"), col("nxt").as("b_id"))
-      graft.text.Components.connectedComponents(edges)
+      // loop parallelism sized to the node count (thousands), not the
+      // session's data-sized shuffle default
+      graft.text.Components.connectedComponents(edges, loopShufflePartitions = Some(8))
         .select(col("id").as("doc_id"), col("component"))
     }),
     "d5_minhash_lsh" -> ((s, dir) => {

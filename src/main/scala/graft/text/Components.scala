@@ -29,19 +29,30 @@ object Components {
     *         fixpoint (at the default 25, pointer jumping covers diameters
     *         beyond 2^25 — hitting this means the input is pathological,
     *         and an unconverged labeling must not be returned silently) */
+  /** @param loopShufflePartitions shuffle partitioning for the loop's joins
+    *        (None = session setting). The label frame is one row per node —
+    *        usually far smaller than the session's data-sized default, and
+    *        with AQE off nothing coalesces it, so per-round task overhead
+    *        scales with this knob. Size it to the node count / executor
+    *        fleet, not to the corpus. */
   def connectedComponents(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, loopShufflePartitions: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
     // Same discipline as SpatialJoin.knnJoin: AQE re-plans every round of a
     // driver-side iterative loop and has been observed (Spark 4.1.2 local)
     // to stall in withFinalPlanUpdate on checkpointed iterations. The
     // per-round joins are small and fixed-shape — plan them statically and
-    // restore the session setting afterwards (same concurrency caveat as
-    // knnJoin: flip is session-wide for the loop's duration).
+    // restore the session settings afterwards (same concurrency caveat as
+    // knnJoin: flips are session-wide for the loop's duration).
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    loopShufflePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     try connectedComponentsLoop(edges, aCol, bCol, maxIter)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
   }
 
   private def connectedComponentsLoop(edges: DataFrame, aCol: String, bCol: String,
@@ -73,12 +84,18 @@ object Components {
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("comp"), coalesce(col("_nm"), col("comp"))).as("comp"))
+      // One pointer jump per round (comp ← min(comp, comp∘comp)); measured:
+      // a second jump in the same plan recomputes the unmaterialized
+      // `stepped` subtree 4× and nearly doubles the round's wall — fewer
+      // rounds did NOT beat the recompute. LAZY checkpoint: the
+      // convergence-check aggregation below is the action that materializes
+      // it — one Spark job per round instead of two.
       val jumped = stepped.as("a")
         .join(stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")).as("b"),
           col("a.comp") === col("_jid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.comp"), coalesce(col("_jcomp"), col("a.comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = jumped.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
       labels = jumped
       it += 1
