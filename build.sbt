@@ -42,7 +42,9 @@ val forkedHeap: String = {
   spec match {
     case m(n, u) =>
       val mb = if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong
-      if (mb > 12 * 1024) "12g" else spec
+      // always emit the canonical JVM form: the regex accepts "8gb"/"8 g",
+      // which -Xmx would reject verbatim
+      if (mb > 12 * 1024) "12g" else s"${mb}m"
     case _ => "8g"
   }
 }

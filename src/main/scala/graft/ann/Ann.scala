@@ -115,6 +115,12 @@ object Ann {
       df.withColumn("table", explode(array(tables: _*)))
         .withColumn("bucket", bucketUdf(col(vecCol), col("table")))
 
+    val spark = queries.sparkSession
+    // the candidates localCheckpoint below pins executor blocks; free
+    // everything this call created once the returned result has its own
+    // blocks (the round-1 knnJoin leak — repeated lshTopK calls in a
+    // long-lived session otherwise accumulate dead checkpoint blocks)
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val qb = withBuckets(queries, "q_vec")
     val cb = capBuckets(withBuckets(corpus, "c_vec"),
       Seq("table", "bucket"), "c_id", maxBucketSize, "lsh_topk_bucket_guard")
@@ -147,17 +153,27 @@ object Ann {
     val counts = candidates.groupBy("q_id").agg(count(lit(1)).as("n"))
     val underfilled = queries.join(counts.where(col("n") < k), Seq("q_id"), "left_semi")
       .unionByName(queries.join(counts, Seq("q_id"), "left_anti"))
-    if (underfilled.isEmpty) candidates
-    else {
-      val corpusSmall =
-        corpus.queryExecution.optimizedPlan.stats.sizeInBytes <= smallCorpusBytes
-      val fallback =
-        if (corpusSmall) bruteForceTopK(underfilled, corpus, k)
-        else ivfTopK(underfilled, corpus, k,
-          nCells = fallbackCells, nProbe = math.max(1, fallbackCells / 2), iters = 2)
-      candidates.join(underfilled.select("q_id"), Seq("q_id"), "left_anti")
-        .unionByName(fallback)
+    val resultPlan =
+      if (underfilled.isEmpty) candidates
+      else {
+        val corpusSmall =
+          corpus.queryExecution.optimizedPlan.stats.sizeInBytes <= smallCorpusBytes
+        val fallback =
+          if (corpusSmall) bruteForceTopK(underfilled, corpus, k)
+          else ivfTopK(underfilled, corpus, k,
+            nCells = fallbackCells, nProbe = math.max(1, fallbackCells / 2), iters = 2)
+        candidates.join(underfilled.select("q_id"), Seq("q_id"), "left_anti")
+          .unionByName(fallback)
+      }
+    // materialize the result's own blocks (≤ k rows per query — small at
+    // any scale), then free every block this call created before it
+    val beforeFinal = spark.sparkContext.getPersistentRDDs.keySet
+    val out = resultPlan.localCheckpoint()
+    val toFree = beforeFinal -- preexisting
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (toFree.contains(id)) rdd.unpersist(blocking = false)
     }
+    out
   }
 
   /** Deterministic IVF (inverted-file) coarse quantizer: Lloyd's k-means

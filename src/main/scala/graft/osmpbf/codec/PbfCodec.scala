@@ -182,8 +182,13 @@ object PbfCodec {
     val size =
       if (rawSize >= 0) rawSize.toLong
       else com.github.luben.zstd.Zstd.getFrameContentSize(frame)
-    if (size < 0 || size > MaxMessageSize)
-      throw new PbfParseException(s"zstd payload size $size invalid or exceeds 32MiB cap")
+    if (size < 0)
+      // legal per spec: a streaming-API frame omits the content size and
+      // raw_size is optional — decode chunked under the same 32 MiB cap
+      return drainStream("zstd", new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(frame)), rawSize)
+    if (size > MaxMessageSize)
+      throw new PbfParseException(s"zstd payload size $size exceeds 32MiB cap")
     val out = new Array[Byte](size.toInt)
     val n =
       try com.github.luben.zstd.Zstd.decompress(out, frame)

@@ -51,7 +51,11 @@ object CheckpointedRunner {
       val m = HadoopIO.readString(p, conf)
       m.contains("\"complete\":true") &&
         m.contains("\"lineage\":\"" + lineage + "\"") &&
-        m.contains("\"bucket_res\":" + bucketRes)
+        // extract-and-compare, NOT substring: a contains of "bucket_res":1
+        // would accept a marker recording 12 (prefix match) and skip every
+        // bucket after a resolution change
+        """"bucket_res":(\d+)""".r.findFirstMatchIn(m)
+          .exists(_.group(1).toInt == bucketRes)
     }
   }
 
@@ -70,9 +74,15 @@ object CheckpointedRunner {
     val conf = spark.sessionState.newHadoopConf()
     val stagedDir = s"$outDir/staged_input"
     val lineageFile = s"$outDir/_staged_lineage.json"
+    // staging validity covers BOTH lineage and bucketRes: the staged copy
+    // is partitioned at a specific resolution, so a same-lineage run with a
+    // different bucketRes must re-stage (reusing the old partitioning would
+    // run work over old-resolution slices while stamping markers with the
+    // new resolution)
+    val stagedStamp = s"""{"lineage":"$lineage","bucket_res":$bucketRes}"""
     val stagedValid = HadoopIO.exists(s"$stagedDir/_SUCCESS", conf) &&
       HadoopIO.exists(lineageFile, conf) &&
-      HadoopIO.readString(lineageFile, conf) == lineage
+      HadoopIO.readString(lineageFile, conf) == stagedStamp
     if (!stagedValid) {
       // lineage changed (or first run): everything downstream of the staging
       // is stale — drop old bucket outputs and markers so a bucket absent
@@ -87,7 +97,7 @@ object CheckpointedRunner {
       }
       tiled.withColumn("_bucket", F.cell_parent(col("tile"), bucketRes))
         .write.mode("overwrite").partitionBy("_bucket").parquet(stagedDir)
-      HadoopIO.writeString(lineageFile, lineage, conf)
+      HadoopIO.writeString(lineageFile, stagedStamp, conf)
     }
     val staged = spark.read.parquet(stagedDir)
     // bucket list from the partition directory names — a filesystem listing,

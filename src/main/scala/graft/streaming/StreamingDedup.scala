@@ -40,7 +40,9 @@ object StreamingDedup {
       idCol: String = "doc_id"): Dataset[FirstSeen] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = docs.select(
+    // null text has no fingerprint — drop it rather than kill the query
+    // (a null into the non-nullable encoder fields fails the whole stream)
+    val fp = docs.where(col(textCol).isNotNull).select(
       md5(col(textCol)).as("fingerprint"),
       col(idCol).cast("long").as("doc_id"),
       size(split(col(textCol), " ", -1)).as("n_tokens")).as[FingerprintedDoc]
@@ -75,7 +77,9 @@ object StreamingDedup {
     require(ttlMillis > 0, "TTL must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = docs.select(
+    // rows with null text or null event time cannot be deduped or aged —
+    // drop them rather than NPE in the state function / encoder
+    val fp = docs.where(col(textCol).isNotNull && col(tsCol).isNotNull).select(
       md5(col(textCol)).as("fingerprint"),
       size(split(col(textCol), " ", -1)).as("n_tokens"),
       col(tsCol).cast("timestamp").as("ts"))

@@ -16,24 +16,40 @@ import org.apache.spark.sql.functions._
   */
 object ImageTable {
 
+  /** Manifest entries for the part-files of one snapshot's data dir —
+    * listed through the Hadoop FS (works on HDFS/S3, not just local disk).
+    * write() and append() share this so their manifests stay byte-compatible
+    * (manifest() extracts paths by regex; readIncremental set-differences
+    * them). */
+  private def dataFileEntries(dataDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val fs = graft.util.HadoopIO.fileSystem(dataDir, conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"""{"path":"${s.getPath.toString}","size":${s.getLen}}""")
+      .toSeq
+  }
+
+  private def commitMetadata(root: String, snapshotId: Long, parent: Option[Long],
+      schema: org.apache.spark.sql.types.StructType, entries: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val schemaJson = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val parentField = parent.map(p => s""""parent-snapshot-id":$p,""").getOrElse("")
+    val meta =
+      s"""{"format-version":2,"snapshot-id":$snapshotId,$parentField
+         |"schema":"$schemaJson",
+         |"manifest":[${entries.mkString(",")}],
+         |"written-at":"deterministic"}""".stripMargin
+    graft.util.HadoopIO.writeString(s"$root/metadata/v$snapshotId.metadata.json", meta, conf)
+    graft.util.HadoopIO.writeString(s"$root/metadata/current", snapshotId.toString, conf)
+  }
+
   def write(df: DataFrame, root: String, snapshotId: Long = 1L): Unit = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val dataDir = s"$root/data/snap=$snapshotId"
     df.write.mode("overwrite").parquet(dataDir)
-    // manifest from the Hadoop FS (works on HDFS/S3, not just local disk)
-    val fs = graft.util.HadoopIO.fileSystem(dataDir, conf)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"""{"path":"${s.getPath.toString}","size":${s.getLen}}""")
-    val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
-    val meta =
-      s"""{"format-version":2,"snapshot-id":$snapshotId,
-         |"schema":"$schemaJson",
-         |"manifest":[${files.mkString(",")}],
-         |"written-at":"deterministic"}""".stripMargin
-    graft.util.HadoopIO.writeString(s"$root/metadata/v$snapshotId.metadata.json", meta, conf)
-    graft.util.HadoopIO.writeString(s"$root/metadata/current", snapshotId.toString, conf)
+    commitMetadata(root, snapshotId, None, df.schema, dataFileEntries(dataDir, conf), conf)
   }
 
   def currentSnapshot(spark: SparkSession, root: String): Long =
@@ -60,32 +76,49 @@ object ImageTable {
     * then records a new snapshot whose manifest is the parent's file list
     * plus the new files — no existing data is rewritten or moved, so an
     * append to a 100-TB table costs only the appended bytes. Returns the
-    * new snapshot id. */
-  def append(df: DataFrame, root: String): Long = {
+    * new snapshot id.
+    *
+    * Concurrency: append is a read-modify-write of `metadata/current`, so
+    * it runs under an exclusive lock file (`HadoopIO.createExclusive` —
+    * atomic on HDFS/local FS) with stale-lock breaking: a holder that
+    * crashed mid-commit stops blocking writers after `staleLockMs`. Two
+    * concurrent appends therefore serialize instead of silently dropping
+    * the loser's rows. On object stores without atomic create, slot a real
+    * catalog at this seam. */
+  def append(df: DataFrame, root: String,
+      staleLockMs: Long = 60000L, lockTimeoutMs: Long = 120000L): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    val parent = currentSnapshot(spark, root)
-    val snapshotId = parent + 1
-    val dataDir = s"$root/data/snap=$snapshotId"
-    df.write.mode("overwrite").parquet(dataDir)
-    val fs = graft.util.HadoopIO.fileSystem(dataDir, conf)
-    val newFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"""{"path":"${s.getPath.toString}","size":${s.getLen}}""")
-    val parentMeta = graft.util.HadoopIO.readString(
-      s"$root/metadata/v$parent.metadata.json", conf)
-    val parentManifest = """\{"path":"[^"]+","size":\d+\}""".r
-      .findAllIn(parentMeta).toSeq
-    val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
-    val meta =
-      s"""{"format-version":2,"snapshot-id":$snapshotId,"parent-snapshot-id":$parent,
-         |"schema":"$schemaJson",
-         |"manifest":[${(parentManifest ++ newFiles).mkString(",")}],
-         |"written-at":"deterministic"}""".stripMargin
-    graft.util.HadoopIO.writeString(s"$root/metadata/v$snapshotId.metadata.json", meta, conf)
-    graft.util.HadoopIO.writeString(s"$root/metadata/current", snapshotId.toString, conf)
-    snapshotId
+    val lock = s"$root/metadata/.append-lock"
+    val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      acquired = graft.util.HadoopIO.createExclusive(lock, "append", conf)
+      if (!acquired) {
+        val stale = try {
+          System.currentTimeMillis() -
+            graft.util.HadoopIO.modificationTime(lock, conf) > staleLockMs
+        } catch { case _: Exception => false } // lock vanished: retry create
+        if (stale) graft.util.HadoopIO.delete(lock, conf)
+        else if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire $lock within ${lockTimeoutMs}ms")
+        else Thread.sleep(200)
+      }
+    }
+    try {
+      val parent = currentSnapshot(spark, root)
+      val snapshotId = parent + 1
+      val dataDir = s"$root/data/snap=$snapshotId"
+      df.write.mode("overwrite").parquet(dataDir)
+      val parentMeta = graft.util.HadoopIO.readString(
+        s"$root/metadata/v$parent.metadata.json", conf)
+      val parentManifest = """\{"path":"[^"]+","size":\d+\}""".r
+        .findAllIn(parentMeta).toSeq
+      commitMetadata(root, snapshotId, Some(parent), df.schema,
+        parentManifest ++ dataFileEntries(dataDir, conf), conf)
+      snapshotId
+    } finally graft.util.HadoopIO.delete(lock, conf)
   }
 
   /** Incremental read: the rows ADDED between two snapshots — the files in

@@ -63,6 +63,10 @@ object Wav {
         case "data" =>
           require(bits > 0, "WAV data chunk before fmt chunk")
           require(channels > 0, s"WAV fmt chunk declares $channels channels")
+          // validate the width BEFORE the frame division: bits in 1..7
+          // would make bytesPer 0 and divide by zero below
+          if (bits != 8 && bits != 16)
+            throw new IllegalArgumentException(s"unsupported PCM width $bits")
           val bytesPer = bits / 8
           val frames = len / (bytesPer * channels)
           val out = new Array[Float](frames)

@@ -84,6 +84,28 @@ object HadoopIO {
     } finally in.close()
   }
 
+  /** Create `path` exclusively (overwrite=false): returns true iff THIS
+    * call created it. Atomic on HDFS and local FS (the create either wins
+    * or throws); S3A has no atomic create — on object stores, slot a real
+    * catalog/lock service into the seam that calls this. */
+  def createExclusive(path: String, content: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    try {
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException => false // FileAlreadyExistsException subclass
+    }
+  }
+
+  def modificationTime(path: String, conf: Configuration): Long = {
+    val p = new Path(path)
+    p.getFileSystem(conf).getFileStatus(p).getModificationTime
+  }
+
   def exists(path: String, conf: Configuration): Boolean = {
     val p = new Path(path)
     p.getFileSystem(conf).exists(p)

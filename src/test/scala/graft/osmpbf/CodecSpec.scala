@@ -216,6 +216,15 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     val b5 = w5.toBytes
     val e5 = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b5, 0, b5.length))
     assert(e5.getMessage.contains("lz4"))
+    // streaming-API zstd frame: content size absent from the header AND no
+    // raw_size field — legal per spec, must decode via the chunked path
+    val bos = new java.io.ByteArrayOutputStream()
+    val zs = new com.github.luben.zstd.ZstdOutputStream(bos)
+    zs.write(payload); zs.close()
+    val w6 = new ProtoWriter
+    w6.bytes(7, bos.toByteArray)
+    val b6 = w6.toBytes
+    assert(PbfCodec.decodeBlobPayload(b6, 0, b6.length).toSeq === payload.toSeq)
   }
 
   test("coordinate bounds ±90/±180 survive round trip (nano_degree.rs:8-15)") {

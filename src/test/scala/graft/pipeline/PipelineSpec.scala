@@ -109,6 +109,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(metrics.contains("\"buckets_skipped\":2"))
   }
 
+  test("isDone compares bucket_res exactly, never by string prefix") {
+    val conf = spark.sessionState.newHadoopConf()
+    val outDir = s"$tmpDir/isdone-prefix"
+    graft.util.HadoopIO.writeString(CheckpointedRunner.markerPath(outDir, 5L),
+      """{"bucket":5,"complete":true,"rows":1,"wall_ms":1,
+        |"lineage":"L","bucket_res":12}""".stripMargin, conf)
+    assert(CheckpointedRunner.isDone(outDir, 5L, "L", 12, conf))
+    // the round-3 bug: contains("\"bucket_res\":1") matched the 12 marker
+    assert(!CheckpointedRunner.isDone(outDir, 5L, "L", 1, conf))
+    assert(!CheckpointedRunner.isDone(outDir, 5L, "other", 12, conf))
+  }
+
+  test("same lineage, new bucket_res: input re-stages at the new resolution") {
+    val outDir = s"$tmpDir/restage-res"
+    val tiled = Tiles.assignPoints(images, 10)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("tile").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val r1 = CheckpointedRunner.run(spark, tiled, outDir, agg, bucketRes = 2, lineage = "s")
+    val r2 = CheckpointedRunner.run(spark, tiled, outDir, agg, bucketRes = 3, lineage = "s")
+    // the res-3 run must produce res-3 buckets (more, finer), not silently
+    // reuse the res-2 staged partitioning
+    assert(r2.forall(!_.skipped), "no res-2 marker may validate a res-3 bucket")
+    assert(r2.map(_.bucket).toSet !== r1.map(_.bucket).toSet)
+    assert(CheckpointedRunner.readOutput(spark, outDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0) === 500L)
+  }
+
   test("incremental tile maintenance: base + appended delta == full recompute") {
     import org.apache.spark.sql.functions.col
     // the ImageTable append/incremental-read surface drives the additive

@@ -17,7 +17,8 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
   test("streamed first-seen set equals batch exact-dedup distinct fingerprints") {
     val rows = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon"),
-      (4L, "alpha beta gamma"), (5L, "zeta"), (6L, "delta epsilon"))
+      (4L, "alpha beta gamma"), (5L, "zeta"), (6L, "delta epsilon"),
+      (7L, null.asInstanceOf[String])) // null text must not kill the query
     val dir = s"$tmpDir/sdedup-in"
     docsDf(rows).write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
@@ -27,7 +28,8 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
     val streamed = spark.table(qname).collect()
       .map(r => (r.getAs[String]("fingerprint"), r.getAs[Int]("n_tokens"))).toSet
-    val batch = Dedup.exact(docsDf(rows)).where(!col("is_duplicate"))
+    val batch = Dedup.exact(docsDf(rows).where(col("text").isNotNull))
+      .where(!col("is_duplicate"))
       .join(docsDf(rows), "doc_id")
       .select(col("fingerprint"), size(split(col("text"), " ", -1)).as("n_tokens"))
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet

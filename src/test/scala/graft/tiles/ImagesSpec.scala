@@ -93,6 +93,28 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() === 0 && none.schema === inc.schema)
   }
 
+  test("append lock: a fresh lock blocks until timeout; a stale one is broken") {
+    val root = s"$tmpDir/imageTable4"
+    val conf = spark.sessionState.newHadoopConf()
+    ImageTable.write(Images.synthesize(spark, 10, centers, 2), root, snapshotId = 1L)
+    val lock = s"$root/metadata/.append-lock"
+    val delta = Images.synthesize(spark, 12, centers, 2)
+      .where(col("image_id") > Images.idString(9L))
+    // fresh lock held by a live (pretend) appender → timeout, no commit
+    graft.util.HadoopIO.writeString(lock, "held", conf)
+    intercept[IllegalStateException] {
+      ImageTable.append(delta, root, staleLockMs = 60000L, lockTimeoutMs = 700L)
+    }
+    assert(ImageTable.currentSnapshot(spark, root) === 1L)
+    // stale lock (holder crashed) → broken, append proceeds
+    val fs = graft.util.HadoopIO.fileSystem(lock, conf)
+    val p = new org.apache.hadoop.fs.Path(lock)
+    fs.setTimes(p, System.currentTimeMillis() - 120000L, -1L)
+    assert(ImageTable.append(delta, root, staleLockMs = 60000L) === 2L)
+    assert(ImageTable.load(spark, root).count() === 12)
+    assert(!graft.util.HadoopIO.exists(lock, conf), "lock released after commit")
+  }
+
   test("parityStats fused pass ≡ decode→psnrVsSynth + aHash, across reused buffers") {
     // one thread, many sizes in shrinking AND growing order: exercises the
     // per-thread Decoder's grow-only buffer reuse (stale-tail bugs would

@@ -105,4 +105,12 @@ class WavSpec extends AnyFunSuite with SparkTestBase {
     // different fundamental frequencies → different zero-crossing counts
     assert(feats.select("zero_crossings").distinct().count() > 10)
   }
+
+  test("fmt declaring bits 1..7 raises a typed error, not a divide-by-zero") {
+    val wav = Wav.encodePcm16(Array(0.1f, 0.2f), 8000)
+    // bits_per_sample lives at fmt body offset 14 = absolute 34 (LE short)
+    wav(34) = 4
+    val e = intercept[IllegalArgumentException](Wav.decode(wav))
+    assert(e.getMessage.contains("unsupported PCM width"))
+  }
 }
