@@ -1,10 +1,11 @@
 package graft.text
 
-import graft.SparkTestBase
+import graft.{GenSupport, SparkTestBase}
 
+import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-class ComponentsSpec extends AnyFunSuite with SparkTestBase {
+class ComponentsSpec extends AnyFunSuite with SparkTestBase with GenSupport {
   import spark.implicits._
 
   private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
@@ -35,6 +36,35 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase {
 
   test("empty edge list yields empty labeling, not an error") {
     assert(comps(Seq.empty) === Map.empty)
+  }
+
+  test("property: components equal driver-side union-find on random graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: every node labelled by the min id of its component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+    }
+    val genEdges = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield edges
+    forAllG(genEdges, n = 12) { edges =>
+      assert(comps(edges) === unionFind(edges), s"edges: $edges")
+    }
   }
 
   test("iteration checkpoints are freed: only the result's blocks remain") {
