@@ -93,6 +93,22 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() === 0 && none.schema === inc.schema)
   }
 
+  test("concurrent appends serialize: both commit, no rows lost") {
+    val root = s"$tmpDir/imageTable5"
+    ImageTable.write(Images.synthesize(spark, 10, centers, 2), root, snapshotId = 1L)
+    val all = Images.synthesize(spark, 30, centers, 2).cache()
+    def slice(lo: Long, hi: Long) = all.where(
+      col("image_id") >= Images.idString(lo) && col("image_id") < Images.idString(hi))
+    val t1 = new Thread(() => ImageTable.append(slice(10, 20), root))
+    val t2 = new Thread(() => ImageTable.append(slice(20, 30), root))
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    // both committed (ids 2 and 3 in either order) and the final table has
+    // every row — the lost-update race would silently drop one appender's
+    assert(ImageTable.currentSnapshot(spark, root) === 3L)
+    assert(ImageTable.load(spark, root).count() === 30)
+    assert(ImageTable.load(spark, root).select("image_id").distinct().count() === 30)
+  }
+
   test("append lock: a fresh lock blocks until timeout; a stale one is broken") {
     val root = s"$tmpDir/imageTable4"
     val conf = spark.sessionState.newHadoopConf()
