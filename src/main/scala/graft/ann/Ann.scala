@@ -117,10 +117,14 @@ object Ann {
 
     val spark = queries.sparkSession
     // the candidates localCheckpoint below pins executor blocks; free
-    // everything this call created once the returned result has its own
-    // blocks (the round-1 knnJoin leak — repeated lshTopK calls in a
-    // long-lived session otherwise accumulate dead checkpoint blocks)
-    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    // exactly the blocks this call's own checkpoints created once the
+    // returned result has its own (the round-1 knnJoin leak — repeated
+    // lshTopK calls in a long-lived session otherwise accumulate dead
+    // checkpoint blocks). Tracking is by the checkpointed plans' RDD ids,
+    // never a global getPersistentRDDs diff — two concurrent lshTopK /
+    // Components calls in one session must not free each other's live
+    // blocks (round-3 ADVICE).
+    val owned = scala.collection.mutable.Set.empty[Int]
     val qb = withBuckets(queries, "q_vec")
     val cb = capBuckets(withBuckets(corpus, "c_vec"),
       Seq("table", "bucket"), "c_id", maxBucketSize, "lsh_topk_bucket_guard")
@@ -137,6 +141,7 @@ object Ann {
       .where(col("rank") <= k)
       .select("q_id", "c_id", "cos_sim", "rank")
       .localCheckpoint()
+    owned ++= org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(candidates)
 
     // Queries that found < k candidates need a fallback. The fallback is
     // picked from the corpus's Catalyst plan statistics, the same signal
@@ -167,11 +172,10 @@ object Ann {
       }
     // materialize the result's own blocks (≤ k rows per query — small at
     // any scale), then free every block this call created before it
-    val beforeFinal = spark.sparkContext.getPersistentRDDs.keySet
     val out = resultPlan.localCheckpoint()
-    val toFree = beforeFinal -- preexisting
+    val keep = org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(out)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (toFree.contains(id)) rdd.unpersist(blocking = false)
+      if (owned.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
     }
     out
   }
@@ -284,9 +288,15 @@ object Ann {
       lshBucket(vec, nPlanes, seed + table * 7919L))
     val tables = (0 until nTables).map(lit(_))
     val base = corpus.select(col("c_id").as("_id"), col("c_vec").as("_vec"))
-    val wVec = Window.partitionBy("_vec")
-    val withRep = base.withColumn("_rep", min(col("_id")).over(wVec))
-    val reps = withRep.where(col("_id") === col("_rep")).select(col("_id"), col("_vec"))
+    // identical-vector collapse as a groupBy, not a window over the vector
+    // key (round-3 verdict item 4): partial aggregation combines map-side —
+    // an m-copy cluster ships one (vec, min, ids) row per map partition
+    // instead of m full rows keyed-and-sorted by the embedding array.
+    // Member ids are collected only when the expansion needs them.
+    val aggs = min("_id").as("_repid") +:
+      (if (expandExactGroups) Seq(collect_list("_id").as("_ids")) else Seq.empty)
+    val grouped = base.groupBy(col("_vec")).agg(aggs.head, aggs.tail: _*)
+    val reps = grouped.select(col("_repid").as("_id"), col("_vec"))
     val banded = reps.withColumn("table", explode(array(tables: _*)))
       .withColumn("bucket", bucketUdf(col("_vec"), col("table")))
     // count guard via partial-aggregated groupBy + broadcast of only the
@@ -315,15 +325,19 @@ object Ann {
       .select("a_id", "b_id", "cos_sim")
     if (!expandExactGroups) repPairs
     else {
-      // intra-cluster pairs: identical vectors, cosine computed through the
-      // same expression (bit-identical values to the un-collapsed plan);
-      // join on the long canonical id, not the vector array
-      val intra = withRep.as("x").join(withRep.as("y"),
-          col("x._rep") === col("y._rep") && col("x._id") < col("y._id"))
-        .withColumn("cos_sim", cosine(col("x._vec"), col("y._vec")))
+      // intra-cluster pairs: members are byte-identical to their
+      // representative, so cosine over the group's vector is bit-identical
+      // to the un-collapsed plan's per-member computation; the pair join
+      // keys on the long canonical id, never the vector array
+      val members = grouped.select(col("_repid").as("_rep"), col("_vec"),
+        explode(col("_ids")).as("_id"))
+      val intra = members.as("x").join(
+          members.select(col("_rep").as("_yrep"), col("_id").as("_yid")).as("y"),
+          col("x._rep") === col("_yrep") && col("x._id") < col("_yid"))
+        .withColumn("cos_sim", cosine(col("x._vec"), col("x._vec")))
         .where(col("cos_sim") >= threshold)
-        .select(col("x._id").as("a_id"), col("y._id").as("b_id"), col("cos_sim"))
-      val mem = withRep.select(col("_rep"), col("_id"))
+        .select(col("x._id").as("a_id"), col("_yid").as("b_id"), col("cos_sim"))
+      val mem = members.select(col("_rep"), col("_id"))
       val cross = repPairs
         .join(mem.withColumnRenamed("_rep", "a_id").withColumnRenamed("_id", "_ma"), "a_id")
         .join(mem.withColumnRenamed("_rep", "b_id").withColumnRenamed("_id", "_mb"), "b_id")

@@ -66,11 +66,23 @@ object CheckpointedRunner {
     * @param lineage opaque provenance string recorded in every marker
     *                (e.g. input snapshot id + code version); a staged input
     *                copy from a DIFFERENT lineage is discarded and re-staged
-    */
+    * @param parallelism bucket jobs submitted concurrently (round-3 verdict
+    *                item 5: strictly sequential buckets serialize the
+    *                small-bucket TAIL on the driver — a cluster that fits
+    *                several bucket jobs at once idles between them).
+    *                Concurrent Spark jobs from one session are safe (the
+    *                scheduler interleaves stages); each bucket still writes
+    *                its own marker, so a crash mid-concurrent-run resumes
+    *                exactly like the sequential case — completed buckets
+    *                skip, in-flight ones re-run. On failure, no NEW buckets
+    *                start, in-flight ones finish (and keep their markers),
+    *                and the first failure (in bucket order) is rethrown.
+    *                `parallelism = 1` preserves strict bucket order. */
   def run(spark: SparkSession, tiled: DataFrame, outDir: String,
       work: DataFrame => DataFrame, bucketRes: Int = 2,
       lineage: String = "unspecified",
-      failInjector: Long => Unit = _ => ()): Seq[BucketResult] = {
+      failInjector: Long => Unit = _ => (),
+      parallelism: Int = 4): Seq[BucketResult] = {
     val conf = spark.sessionState.newHadoopConf()
     val stagedDir = s"$outDir/staged_input"
     val lineageFile = s"$outDir/_staged_lineage.json"
@@ -108,7 +120,7 @@ object CheckpointedRunner {
       .map(_.getPath.getName.stripPrefix("_bucket=").toLong)
       .sorted.toSeq
 
-    val results = buckets.map { b =>
+    def runBucket(b: Long): BucketResult =
       if (isDone(outDir, b, lineage, bucketRes, conf)) BucketResult(b, -1L, 0L, skipped = true)
       else {
         val t0 = System.nanoTime()
@@ -125,7 +137,34 @@ object CheckpointedRunner {
         HadoopIO.writeString(markerPath(outDir, b), marker, conf)
         BucketResult(b, rows, wallMs, skipped = false)
       }
-    }
+
+    val results: Seq[BucketResult] =
+      if (parallelism <= 1 || buckets.size <= 1) buckets.map(runBucket)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, buckets.size))
+        val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+        try {
+          val futures = buckets.map(b => pool.submit(new java.util.concurrent.Callable[BucketResult] {
+            def call(): BucketResult = {
+              if (aborted.get) throw new java.util.concurrent.CancellationException(
+                s"bucket $b not started: an earlier bucket failed")
+              try runBucket(b)
+              catch { case t: Throwable => aborted.set(true); throw t }
+            }
+          }))
+          // await ALL in bucket order (in-flight work finishes and keeps its
+          // markers), then rethrow the first real failure in bucket order
+          val outcomes = futures.map(f =>
+            try Right(f.get())
+            catch { case e: java.util.concurrent.ExecutionException => Left(e.getCause) })
+          outcomes.collectFirst {
+            case Left(t) if !t.isInstanceOf[java.util.concurrent.CancellationException] => t
+          }.foreach(throw _)
+          outcomes.collectFirst { case Left(t) => t }.foreach(throw _) // all-cancelled edge
+          outcomes.collect { case Right(r) => r }
+        } finally pool.shutdown()
+      }
     // aggregate metrics for the whole run
     val done = results.filterNot(_.skipped)
     val metrics =

@@ -99,28 +99,32 @@ object SpatialJoin {
     */
   def knnJoin(points: DataFrame, pois: DataFrame, k: Int, res: Int = 8,
       maxRadius: Int = 8): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
     // AQE re-plans every round of the driver loop and (observed on 4.1.2)
     // can stall in withFinalPlanUpdate on the checkpointed iteration;
     // these per-round joins are small and fixed-shape, so plan them
-    // statically and restore the setting afterwards.
-    // NOTE: this flips the SESSION conf for the duration of the loop (and
-    // restores it in finally) — a concurrent query on the same SparkSession
-    // would plan without AQE during that window. Run concurrent workloads
-    // from separate sessions (spark.newSession() shares the context but not
-    // the conf) if that matters.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    // statically. The flip lives on a CLONED session (shared context +
+    // cache, isolated conf) so concurrent queries on the caller's session
+    // still plan with AQE; the result is re-rooted back before returning.
+    val caller = points.sparkSession
+    val spark = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(caller)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val pointsL = org.apache.spark.sql.graftbridge.SessionBridge.ofRows(spark, points)
+    val poisL = org.apache.spark.sql.graftbridge.SessionBridge.ofRows(spark, pois)
+    import spark.implicits._
     // Per-round localCheckpoints pin executor-memory blocks; on long loops
-    // these accumulate (round-1 leak). Track the persistent RDDs that exist
-    // before the loop, materialize the final result, then free everything
-    // this call created except the result's own blocks.
-    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
-    try {
+    // these accumulate (round-1 leak). Track the RDD ids of exactly the
+    // checkpoints THIS call creates (never a global getPersistentRDDs diff,
+    // which races concurrent lshTopK/Components calls in one session),
+    // materialize the final result, then free all of them except the
+    // result's own blocks.
+    val owned = scala.collection.mutable.Set.empty[Int]
+    def track(df: DataFrame): DataFrame = {
+      owned ++= org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(df); df
+    }
+    {
     val diskUdf = udf((cell: Long, r: Int) => CellMath.disk(cell, r))
     val topkUdaf = udaf(new TopKAgg(k))
-    val poiCells = pois
+    val poiCells = poisL
       .select(col("poi_id"), col("lon").as("poi_lon"), col("lat").as("poi_lat"))
       .withColumn("cell", F.cell_of(col("poi_lon"), col("poi_lat"), res))
       .cache()
@@ -128,10 +132,10 @@ object SpatialJoin {
     val cellHeightDeg = 180.0 / (1 << res)
     val metersPerDeg = 111194.9
 
-    var active = points
+    var active = track(pointsL
       .select(col("pt_id"), col("lon"), col("lat"))
       .withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
-      .localCheckpoint()
+      .localCheckpoint())
     var activeCount = active.count()
     var results: DataFrame = null
     var radius = 1
@@ -148,10 +152,10 @@ object SpatialJoin {
       // localCheckpoint: each round materializes once — without it the
       // lazily-chained rounds re-execute every prior round's join whenever
       // the final union materializes (memory + time blow-up).
-      val grouped = cand.groupBy("pt_id")
+      val grouped = track(cand.groupBy("pt_id")
         .agg(topkUdaf(col("dist_m"), col("poi_id")).as("topk"),
           first(col("lat")).as("_lat"))
-        .localCheckpoint()
+        .localCheckpoint())
       // Retirement guarantee: a POI outside the probed disk is > `radius`
       // cells away (wrapped-Chebyshev), i.e. EITHER
       //   (y-escape) its latitude differs by ≥ radius·cellH
@@ -189,7 +193,7 @@ object SpatialJoin {
         .select(col("pt_id"), col("c.id").as("poi_id"), col("c.dist").as("dist_m"),
           (col("pos") + 1).cast("int").as("rank"))
       results = if (results == null) done else results.unionByName(done)
-      active = active.join(safeIds, Seq("pt_id"), "left_anti").localCheckpoint()
+      active = track(active.join(safeIds, Seq("pt_id"), "left_anti").localCheckpoint())
       activeCount = active.count()
       if (sys.env.contains("GRAFT_KNN_VERBOSE"))
         println(s"[knn] radius=$radius active=$activeCount tookMs=${(System.nanoTime() - tRound) / 1000000}")
@@ -208,14 +212,13 @@ object SpatialJoin {
       results = if (results == null) rest else results.unionByName(rest)
     }
     poiCells.unpersist()
-    val beforeFinal = spark.sparkContext.getPersistentRDDs.keySet
     val out = results.localCheckpoint() // eager: result blocks materialized
-    val toFree = beforeFinal -- preexisting
+    val keep = org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(out)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (toFree.contains(id)) rdd.unpersist(blocking = false)
+      if (owned.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
     }
-    out
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    org.apache.spark.sql.graftbridge.SessionBridge.ofRows(caller, out)
+    }
   }
 
   /** Persist a cell-keyed DataFrame as a bucketed table so that REPEATED

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SessionBridge
 
 /** Connected components over a pair/edge list — the step that turns the
   * dedup operators' PAIRS (minhash/simhash/embedding near-dup, exact-dup
@@ -13,9 +14,10 @@ import org.apache.spark.sql.functions._
   * OF its current label (path shortcutting), so chains of length n converge
   * in O(log n) iterations, not O(n). Each iteration is two hash-join
   * shuffles over (edges ⋈ labels) + (labels ⋈ labels) with a
-  * `localCheckpoint` to truncate lineage; convergence is detected by the
-  * monotonically decreasing label sum (labels only ever decrease, so an
-  * unchanged sum is a fixpoint — no row-diff join needed).
+  * `localCheckpoint` to truncate lineage; convergence is detected by
+  * counting CHANGED labels in the same per-round aggregation (zero changes
+  * = fixpoint — overflow-free, unlike a label-sum checksum, which can wrap
+  * with ids near Long.MaxValue and alias a changed labeling to "unchanged").
   */
 object Components {
 
@@ -41,76 +43,75 @@ object Components {
     // Same discipline as SpatialJoin.knnJoin: AQE re-plans every round of a
     // driver-side iterative loop and has been observed (Spark 4.1.2 local)
     // to stall in withFinalPlanUpdate on checkpointed iterations. The
-    // per-round joins are small and fixed-shape — plan them statically and
-    // restore the session settings afterwards (same concurrency caveat as
-    // knnJoin: flips are session-wide for the loop's duration).
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    loopShufflePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
-    try connectedComponentsLoop(edges, aCol, bCol, maxIter)
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
-    }
+    // per-round joins are small and fixed-shape — plan them statically. The
+    // flips live on a CLONED session (same context + cache, isolated conf),
+    // so a concurrent query on the caller's session never sees them; the
+    // result is re-rooted onto the caller's session before returning.
+    val loop = SessionBridge.cloneSession(spark)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loopShufflePartitions.foreach(p => loop.conf.set("spark.sql.shuffle.partitions", p.toString))
+    val out = connectedComponentsLoop(SessionBridge.ofRows(loop, edges), aCol, bCol, maxIter)
+    SessionBridge.ofRows(spark, out)
   }
 
   private def connectedComponentsLoop(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
-    // per-iteration localCheckpoints pin executor blocks — free everything
-    // this call created except the returned result's own blocks (the same
-    // round-1 leak knnJoin fixes)
-    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
-    def freeSince(boundary: scala.collection.Set[Int]): Unit = {
-      val toFree = boundary -- preexisting
+    // per-iteration localCheckpoints pin executor blocks — free exactly the
+    // blocks THIS call's checkpoints created (tracked by RDD id from each
+    // checkpointed plan, never a global getPersistentRDDs diff, which would
+    // race a concurrent lshTopK/knnJoin and free ITS live blocks), except
+    // the returned result's own
+    val owned = scala.collection.mutable.Set.empty[Int]
+    def track(df: DataFrame): DataFrame = { owned ++= SessionBridge.checkpointRddIds(df); df }
+    def freeAllExcept(keep: Set[Int]): Unit =
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (toFree.contains(id)) rdd.unpersist(blocking = false)
+        if (owned.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
       }
-    }
-    val sym = edges
+    val sym = track(edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
+      .localCheckpoint())
+    var labels = track(sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var checksum = labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+      .localCheckpoint())
     var it = 0
     while (it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("comp").as("_nm"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
+        .select(labels("id"), labels("comp").as("_prev"),
           least(col("comp"), coalesce(col("_nm"), col("comp"))).as("comp"))
       // One pointer jump per round (comp ← min(comp, comp∘comp)); measured:
       // a second jump in the same plan recomputes the unmaterialized
       // `stepped` subtree 4× and nearly doubles the round's wall — fewer
       // rounds did NOT beat the recompute. LAZY checkpoint: the
       // convergence-check aggregation below is the action that materializes
-      // it — one Spark job per round instead of two.
-      val jumped = stepped.as("a")
+      // it — one Spark job per round instead of two. `_prev` (the label at
+      // round start) rides along so convergence is a changed-row COUNT in
+      // the same aggregation — exact at any id magnitude.
+      val jumped = track(stepped.as("a")
         .join(stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")).as("b"),
           col("a.comp") === col("_jid"), "left")
-        .select(col("a.id").as("id"),
+        .select(col("a.id").as("id"), col("a._prev").as("_prev"),
           least(col("a.comp"), coalesce(col("_jcomp"), col("a.comp"))).as("comp"))
-        .localCheckpoint(eager = false)
-      val s = jumped.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
-      labels = jumped
+        .localCheckpoint(eager = false))
+      val changed = jumped
+        .agg(coalesce(sum(when(col("comp") =!= col("_prev"), 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0)
+      labels = jumped.select("id", "comp")
       it += 1
-      if (s == checksum) {
+      if (changed == 0L) {
         // materialize the result's own blocks, then free every block this
-        // call created before it (per-iteration checkpoints would otherwise
+        // call created (per-iteration checkpoints would otherwise
         // accumulate — the round-1 knnJoin leak)
-        val beforeFinal = spark.sparkContext.getPersistentRDDs.keySet
         val out = labels.select(col("id"), col("comp").as("component")).localCheckpoint()
-        freeSince(beforeFinal)
+        freeAllExcept(SessionBridge.checkpointRddIds(out))
         return out
       }
-      checksum = s
     }
-    freeSince(spark.sparkContext.getPersistentRDDs.keySet)
+    freeAllExcept(Set.empty)
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations")
   }

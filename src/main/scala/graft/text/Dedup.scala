@@ -172,14 +172,19 @@ object Dedup {
     // signatures first (narrow per-row pass — same work round 1 did), then
     // collapse by the SIGNATURE itself: identical sigs behave identically
     // in every band and pair at est_jaccard exactly 1.0, so this is
-    // output-invariant, and the collapse window shuffles only (id, sig) —
-    // never the document text
+    // output-invariant. The collapse is a groupBy, not a window over the
+    // array key (round-3 verdict item 4): partial aggregation combines
+    // map-side, so an m-copy cluster ships ONE (sig, min, ids) row per map
+    // partition instead of m full rows keyed-and-sorted by the ~1 KB
+    // signature. Member ids are collected only when the expansion needs
+    // them (an m-member group's id list is O(m) — bounded by the same
+    // clusters the expand mode is already quadratic in).
     val base = docs.select(col(idCol).as("_id"),
       minhashUdf(numHashes, shingleSize)(col(textCol)).as("sig"))
-    val wSig = Window.partitionBy("sig")
-    val withRep = base.withColumn("_rep", min(col("_id")).over(wSig))
-    val reps = withRep.where(col("_id") === col("_rep"))
-      .select(col("_id"), col("sig"))
+    val aggs = min("_id").as("_repid") +:
+      (if (expandExactGroups) Seq(collect_list("_id").as("_ids")) else Seq.empty)
+    val grouped = base.groupBy(col("sig")).agg(aggs.head, aggs.tail: _*)
+    val reps = grouped.select(col("_repid").as("_id"), col("sig"))
     // band key: hash of the signature slice — one shuffle on (band, key)
     val banded = reps.select(col("_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
@@ -197,7 +202,8 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
     if (!expandExactGroups) repPairs
-    else expandGroups(repPairs, withRep.select(col("_id"), col("_rep")),
+    else expandGroups(repPairs,
+      grouped.select(explode(col("_ids")).as("_id"), col("_repid").as("_rep")),
       lit(1.0).as("est_jaccard"), Seq("est_jaccard"))
   }
 
@@ -260,9 +266,12 @@ object Dedup {
       expandExactGroups: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming ≤ 3")
     val base = docs.select(col(idCol).as("_id"), simhashUdf(col(textCol)).as("simhash"))
-    val wSim = Window.partitionBy("simhash")
-    val withRep = base.withColumn("_rep", min(col("_id")).over(wSim))
-    val reps = withRep.where(col("_id") === col("_rep")).select(col("_id"), col("simhash"))
+    // same groupBy collapse as minhashLsh (map-side partial aggregation; no
+    // window re-shuffle of every member row)
+    val aggs = min("_id").as("_repid") +:
+      (if (expandExactGroups) Seq(collect_list("_id").as("_ids")) else Seq.empty)
+    val grouped = base.groupBy(col("simhash")).agg(aggs.head, aggs.tail: _*)
+    val reps = grouped.select(col("_repid").as("_id"), col("simhash"))
     val banded = reps.select(col("_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
         "b -> (simhash >> (b * 16)) & 65535)")).as(Seq("band", "bucket")))
@@ -278,7 +287,8 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
     if (!expandExactGroups) repPairs
-    else expandGroups(repPairs, withRep.select(col("_id"), col("_rep")),
+    else expandGroups(repPairs,
+      grouped.select(explode(col("_ids")).as("_id"), col("_repid").as("_rep")),
       lit(0).as("hamming"), Seq("hamming"))
   }
 

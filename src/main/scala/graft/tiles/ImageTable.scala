@@ -78,45 +78,71 @@ object ImageTable {
     * append to a 100-TB table costs only the appended bytes. Returns the
     * new snapshot id.
     *
-    * Concurrency: append is a read-modify-write of `metadata/current`, so
-    * it runs under an exclusive lock file (`HadoopIO.createExclusive` —
-    * atomic on HDFS/local FS) with stale-lock breaking: a holder that
-    * crashed mid-commit stops blocking writers after `staleLockMs`. Two
-    * concurrent appends therefore serialize instead of silently dropping
-    * the loser's rows. On object stores without atomic create, slot a real
-    * catalog at this seam. */
+    * Concurrency: the data files are written FIRST, to a transaction-scoped
+    * dir, with no lock held — a 100-TB append's multi-minute write cannot
+    * outlive `staleLockMs` because the lock isn't taken yet. Only the
+    * metadata read-modify-write of `metadata/current` (milliseconds) runs
+    * under the exclusive lock file (`HadoopIO.createExclusive` — atomic on
+    * HDFS/local FS). Stale-lock breaking is token-checked: the lock content
+    * is a unique per-attempt token, and a breaker deletes the lock only
+    * after RE-reading it and seeing the same token it observed as stale —
+    * so a lock released-and-reacquired between observation and break is
+    * never deleted (the round-3 ADVICE double-break race; the residual
+    * read-then-delete window is microseconds against a 60 s staleness
+    * threshold). Two concurrent appends therefore serialize instead of
+    * silently dropping the loser's rows. A failure before commit leaves an
+    * orphaned `data/txn-*` dir — invisible to readers (reads go through the
+    * manifest, never a directory listing) and reclaimable by any vacuum.
+    * On object stores without atomic create, slot a real catalog at this
+    * seam. */
   def append(df: DataFrame, root: String,
       staleLockMs: Long = 60000L, lockTimeoutMs: Long = 120000L): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
+    val token = java.util.UUID.randomUUID().toString
+    // 1. data write, unlocked: the expensive part at scale
+    val dataDir = s"$root/data/txn-$token"
+    df.write.mode("overwrite").parquet(dataDir)
+    val newEntries = dataFileEntries(dataDir, conf)
+    // 2. metadata commit under the token-stamped lock
     val lock = s"$root/metadata/.append-lock"
     val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
     var acquired = false
     while (!acquired) {
-      acquired = graft.util.HadoopIO.createExclusive(lock, "append", conf)
+      acquired = graft.util.HadoopIO.createExclusive(lock, token, conf)
       if (!acquired) {
-        val stale = try {
-          System.currentTimeMillis() -
-            graft.util.HadoopIO.modificationTime(lock, conf) > staleLockMs
-        } catch { case _: Exception => false } // lock vanished: retry create
-        if (stale) graft.util.HadoopIO.delete(lock, conf)
-        else if (System.nanoTime() > deadline)
-          throw new IllegalStateException(
-            s"could not acquire $lock within ${lockTimeoutMs}ms")
-        else Thread.sleep(200)
+        // observe holder token + age together; a vanished lock means the
+        // holder just released — loop back to the create race
+        val observed = try {
+          val t = graft.util.HadoopIO.readString(lock, conf)
+          val age = System.currentTimeMillis() -
+            graft.util.HadoopIO.modificationTime(lock, conf)
+          Some((t, age))
+        } catch { case _: Exception => None }
+        observed match {
+          case Some((heldToken, age)) if age > staleLockMs =>
+            // break ONLY the lock instance observed stale: re-read and
+            // verify the token is unchanged before deleting
+            val still = try graft.util.HadoopIO.readString(lock, conf)
+              catch { case _: Exception => null }
+            if (still == heldToken) graft.util.HadoopIO.delete(lock, conf)
+          case _ =>
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"could not acquire $lock within ${lockTimeoutMs}ms")
+            else Thread.sleep(200)
+        }
       }
     }
     try {
       val parent = currentSnapshot(spark, root)
       val snapshotId = parent + 1
-      val dataDir = s"$root/data/snap=$snapshotId"
-      df.write.mode("overwrite").parquet(dataDir)
       val parentMeta = graft.util.HadoopIO.readString(
         s"$root/metadata/v$parent.metadata.json", conf)
       val parentManifest = """\{"path":"[^"]+","size":\d+\}""".r
         .findAllIn(parentMeta).toSeq
       commitMetadata(root, snapshotId, Some(parent), df.schema,
-        parentManifest ++ dataFileEntries(dataDir, conf), conf)
+        parentManifest ++ newEntries, conf)
       snapshotId
     } finally graft.util.HadoopIO.delete(lock, conf)
   }

@@ -87,7 +87,13 @@ object HadoopIO {
   /** Create `path` exclusively (overwrite=false): returns true iff THIS
     * call created it. Atomic on HDFS and local FS (the create either wins
     * or throws); S3A has no atomic create — on object stores, slot a real
-    * catalog/lock service into the seam that calls this. */
+    * catalog/lock service into the seam that calls this.
+    *
+    * Only "already exists" maps to `false`; any other IOException (missing
+    * parent permissions, network failure) RETHROWS — a transient FS error
+    * must not be indistinguishable from "lock held", or a caller spins on a
+    * lock that never existed (round-3 ADVICE). The message fallback covers
+    * FileSystem impls that signal the lost race with a plain IOException. */
   def createExclusive(path: String, content: String, conf: Configuration): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -97,7 +103,10 @@ object HadoopIO {
       finally out.close()
       true
     } catch {
-      case _: java.io.IOException => false // FileAlreadyExistsException subclass
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.toLowerCase.contains("already exists") => false
     }
   }
 

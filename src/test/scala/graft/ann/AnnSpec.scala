@@ -114,6 +114,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"rank-1 recall $recall via IVF fallback")
   }
 
+  test("concurrent lshTopK calls don't free each other's checkpoint blocks") {
+    // round-3 ADVICE: the cleanup sweep used a global getPersistentRDDs
+    // diff, so two concurrent calls could unpersist each other's LIVE
+    // localCheckpoint blocks mid-flight (job failure). Now each call frees
+    // only the RDD ids its own checkpoints created.
+    val k = 4
+    @volatile var err: Throwable = null
+    val rowCounts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val threads = (0 until 2).map(i => new Thread(() =>
+      try {
+        val out = Ann.lshTopK(queries, corpus, k, seed = 42L + i)
+        val counts = out.groupBy("q_id").count().collect().map(_.getLong(1))
+        assert(counts.length === 8 && counts.forall(_ == k.toLong))
+        rowCounts.put(i, out.count())
+      } catch { case t: Throwable => err = t }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (err != null) throw err
+    assert(rowCounts.get(0) === 8L * k)
+    assert(rowCounts.get(1) === 8L * k)
+  }
+
   test("IVF full-probe equals brute force; partial probe keeps high recall, bounded candidates") {
     val k = 5
     val brute = Ann.bruteForceTopK(queries, corpus, k).collect()

@@ -92,11 +92,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val tiled = Tiles.assignPoints(images, 10)
     val work = (df: org.apache.spark.sql.DataFrame) =>
       df.groupBy("tile").agg(count(lit(1)).as("n"))
-    // fail on the third distinct bucket encountered
+    // fail on the third distinct bucket encountered (parallelism = 1 keeps
+    // bucket order strict, so exactly two buckets complete first)
     var seen = 0
     val boom = (b: Long) => { seen += 1; if (seen == 3) throw new RuntimeException("injected crash") }
     val attempt = intercept[RuntimeException] {
-      CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "x", failInjector = boom)
+      CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "x",
+        failInjector = boom, parallelism = 1)
     }
     assert(attempt.getMessage === "injected crash")
     // resume without injector: completes; first two buckets were skipped
@@ -107,6 +109,50 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val metrics = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$outDir/_pipeline_metrics.json")))
     assert(metrics.contains("\"buckets_skipped\":2"))
+  }
+
+  test("concurrent buckets: same output as sequential, resume skips all") {
+    val outDir = s"$tmpDir/ckpt-conc"
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile").agg(count(lit(1)).as("n"))
+    val r1 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2,
+      lineage = "c1", parallelism = 4)
+    assert(r1.size > 1 && r1.forall(!_.skipped))
+    assert(CheckpointedRunner.readOutput(spark, outDir)
+      .agg(sum("n")).collect().head.getLong(0) === 500L)
+    // results come back in bucket order regardless of completion order
+    assert(r1.map(_.bucket) === r1.map(_.bucket).sorted)
+    val r2 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2,
+      lineage = "c1", parallelism = 4)
+    assert(r2.forall(_.skipped))
+  }
+
+  test("crash mid-concurrent-run: finished buckets keep markers, resume completes") {
+    val outDir = s"$tmpDir/ckpt-conc-crash"
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile").agg(count(lit(1)).as("n"))
+    val conf = spark.sessionState.newHadoopConf()
+    // deterministic target under concurrency: fail by bucket ID, not by
+    // encounter order
+    val allBuckets = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2,
+      lineage = "probe", parallelism = 1).map(_.bucket)
+    val victim = allBuckets.max
+    val boom = (b: Long) => if (b == victim) throw new RuntimeException("injected crash")
+    val attempt = intercept[RuntimeException] {
+      CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "cc",
+        failInjector = boom, parallelism = 3)
+    }
+    assert(attempt.getMessage === "injected crash")
+    assert(!CheckpointedRunner.isDone(outDir, victim, "cc", 2, conf),
+      "failed bucket must not have a valid marker")
+    // resume: victim (and any cancelled tail) re-runs, finished buckets skip
+    val r2 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2,
+      lineage = "cc", parallelism = 3)
+    assert(r2.find(_.bucket == victim).exists(!_.skipped))
+    assert(CheckpointedRunner.readOutput(spark, outDir)
+      .agg(sum("n")).collect().head.getLong(0) === 500L)
   }
 
   test("isDone compares bucket_res exactly, never by string prefix") {

@@ -67,6 +67,34 @@ class ComponentsSpec extends AnyFunSuite with SparkTestBase with GenSupport {
     }
   }
 
+  test("concurrent loops share a session safely: caller conf never flips, both correct") {
+    // the loop's AQE/shuffle-partition flips live on a CLONED session; the
+    // caller's conf must stay untouched for the WHOLE duration (round-3
+    // verdict item 6 — previously the flip was session-wide with a
+    // finally-restore, racy under concurrency)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val chainA = (1L until 150L).map(i => (i, i + 1))
+    val chainB = (1000L until 1150L).map(i => (i, i + 1))
+    @volatile var flipSeen = false
+    @volatile var err: Throwable = null
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Long]]()
+    def runner(name: String, edges: Seq[(Long, Long)]) = new Thread(() =>
+      try results.put(name, comps(edges))
+      catch { case t: Throwable => err = t })
+    val threads = Seq(runner("a", chainA), runner("b", chainB))
+    threads.foreach(_.start())
+    while (threads.exists(_.isAlive)) {
+      if (spark.conf.get("spark.sql.adaptive.enabled") != "true") flipSeen = true
+      Thread.sleep(5)
+    }
+    threads.foreach(_.join())
+    if (err != null) throw err
+    assert(!flipSeen, "caller session conf was flipped mid-loop")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(results.get("a").values.toSet === Set(1L))
+    assert(results.get("b").values.toSet === Set(1000L))
+  }
+
   test("iteration checkpoints are freed: only the result's blocks remain") {
     val before = spark.sparkContext.getPersistentRDDs.size
     comps((1L until 100L).map(i => (i, i + 1)))

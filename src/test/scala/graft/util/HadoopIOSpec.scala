@@ -4,6 +4,20 @@ import graft.SparkTestBase
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A FileSystem whose create always fails with a non-"already exists"
+  * IOException — stands in for a transient network/permission failure. */
+class FaultyCreateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    throw new java.io.IOException("simulated transient failure")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    throw new java.io.IOException("simulated transient failure")
+}
+
 class HadoopIOSpec extends AnyFunSuite with SparkTestBase {
 
   private def conf = spark.sessionState.newHadoopConf()
@@ -43,6 +57,24 @@ class HadoopIOSpec extends AnyFunSuite with SparkTestBase {
     assert(!HadoopIO.exists(s"$dir/bad.bin", conf))
     val names = Option(new java.io.File(dir).listFiles()).map(_.map(_.getName)).getOrElse(Array.empty[String])
     assert(!names.exists(_.contains("_temporary")), names.mkString(","))
+  }
+
+  test("createExclusive: lost race is false; a genuine FS error rethrows") {
+    val dir = s"$tmpDir/hio4"
+    val p = s"$dir/lockfile"
+    assert(HadoopIO.createExclusive(p, "a", conf), "first create wins")
+    assert(!HadoopIO.createExclusive(p, "b", conf), "second create loses the race")
+    assert(HadoopIO.readString(p, conf) === "a", "loser must not clobber content")
+    // a transient FS failure (network, permissions) must RETHROW, not be
+    // reported as "lock held" — a caller would spin until timeout on a
+    // phantom lock (round-3 ADVICE)
+    val c2 = spark.sessionState.newHadoopConf()
+    c2.set("fs.file.impl", classOf[FaultyCreateFs].getName)
+    c2.set("fs.file.impl.disable.cache", "true")
+    val ex = intercept[java.io.IOException] {
+      HadoopIO.createExclusive(s"file://$dir/never/lock", "c", c2)
+    }
+    assert(ex.getMessage.contains("simulated transient failure"))
   }
 
   test("SerializableHadoopConf round-trips custom settings through Java serialization") {
