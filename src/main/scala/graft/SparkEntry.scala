@@ -265,7 +265,26 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      Ann.lshTopK(queries, corpus, k = 5).select("q_id", "c_id", "rank")
+      val k = 5
+      // wide-probe parameters: the sf tables hold near-uniform random
+      // vectors (no planted clusters), where narrow LSH buckets are
+      // information-theoretically recall-poor — short hashes + more tables
+      // trade candidate volume for recall, the knob a real corpus tunes to
+      // its own geometry (AnnSpec gates the narrow-bucket scale behavior)
+      val lsh = Ann.lshTopK(queries, corpus, k, nPlanes = 2, nTables = 8)
+      // self-certifying value signal: the query stays no_oracle (signature
+      // hashing isn't ANSI-SQL-expressible), but each row carries its
+      // query's recall against exact brute force plus the ≥0.8 verdict —
+      // a driver reading any row sees the quality invariant, not just a
+      // row count
+      val brute = Ann.bruteForceTopK(queries, corpus, k)
+      val hits = lsh.select("q_id", "c_id")
+        .join(brute.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("_hits"))
+      lsh.join(hits, Seq("q_id"), "left")
+        .withColumn("recall_vs_brute", coalesce(col("_hits"), lit(0L)) / lit(k.toDouble))
+        .withColumn("recall_ok", col("recall_vs_brute") >= 0.8)
+        .select("q_id", "c_id", "rank", "recall_vs_brute", "recall_ok")
     }),
     "e4_ann_ivf" -> ((s, dir) => {
       // full-probe mode (nProbe = nCells): candidate set = whole corpus, so

@@ -109,9 +109,30 @@ object OsmWorld {
         ways += OsmWay(wid, ids :+ ids.head, Map.empty, None, 0L)
       }
       wayId += 2
-      relations += OsmRelation(relId,
+      val zoneRelId = relId
+      relations += OsmRelation(zoneRelId,
         Seq(RelMember(outerId, "outer", "way"), RelMember(innerId, "inner", "way")),
         Map("type" -> "multipolygon", "name" -> s"zone_$c"), None, 0L)
+      relId += 1
+
+      // super-relation (relation-of-relations, member_type Relation): its
+      // own big outer ring way PLUS the zone relation — depth-2 assembly
+      // resolves the zone's outer+inner rings into the super polygon
+      val superOuterId = wayId
+      val sScale = 0.16
+      val sPts = Seq((cLon - sScale, cLat - sScale), (cLon + sScale, cLat - sScale),
+        (cLon + sScale, cLat + sScale), (cLon - sScale, cLat + sScale))
+      val sIds = sPts.map { case (lon, lat) =>
+        val latNd = snapNd(lat); val lonNd = snapNd(lon)
+        nodes += OsmNode(nodeId, latNd, lonNd, latNd * 1e-9, lonNd * 1e-9, Map.empty, None, 0L)
+        nodeId += 1
+        nodeId - 1
+      }
+      ways += OsmWay(superOuterId, sIds :+ sIds.head, Map.empty, None, 0L)
+      wayId += 1
+      relations += OsmRelation(relId,
+        Seq(RelMember(superOuterId, "outer", "way"), RelMember(zoneRelId, "", "relation")),
+        Map("type" -> "multipolygon", "name" -> s"super_zone_$c"), None, 0L)
       relId += 1
     }
     World(nodes.result(), ways.result(), relations.result(), centers.result())
@@ -137,10 +158,15 @@ object OsmWorld {
     world
   }
 
+  /** Bumped whenever `generate` changes content, so stale cached fixture
+    * files (which live across sessions under /tmp) can never mismatch the
+    * in-memory ground truth. v2: super-relations (depth-2 multipolygons). */
+  final val FixtureVersion = 2
+
   /** Generate-and-write with a per-(seed,size) cached file under tmpDir, so
     * repeated test/bench runs reuse the fixture. Returns (path, world). */
   def cachedPbf(tmpDir: String, seed: Long, nClusters: Int, nodesPerCluster: Int): (String, World) = {
-    val path = s"$tmpDir/osmworld_${seed}_${nClusters}_$nodesPerCluster.osm.pbf"
+    val path = s"$tmpDir/osmworld_${seed}_${nClusters}_${nodesPerCluster}_v$FixtureVersion.osm.pbf"
     val world = generate(seed, nClusters, nodesPerCluster)
     val f = new java.io.File(path)
     if (!f.exists()) {

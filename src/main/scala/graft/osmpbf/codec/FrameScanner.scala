@@ -60,6 +60,43 @@ object FrameScanner {
   final case class ScanResult(header: Option[HeaderMeta], blobs: Vector[BlobPointer],
       fileSize: Long, truncatedTail: Boolean)
 
+  /** Sidecar stats file for a FOREIGN .osm.pbf (one whose writer embedded
+    * no indexdata): written by `OsmStats.buildBlobStats`, merged into every
+    * later scan so blob pushdown (F5) and scan statistics (S9) work on
+    * third-party files too. Guarded by the recorded file size — a rewritten
+    * pbf invalidates its sidecar. */
+  def sidecarPath(pathStr: String): String = pathStr + ".graft-stats.json"
+
+  private val sidecarEntryRe =
+    ("""\{"offset":(\d+),"nodes":(\d+),"ways":(\d+),"relations":(\d+),""" +
+      """"changesets":(\d+)(?:,"min_id":(-?\d+),"max_id":(-?\d+))?\}""").r
+
+  private def loadSidecar(pathStr: String, fileSize: Long,
+      conf: Configuration): Map[Long, BlobStats] = try {
+    val p = new Path(sidecarPath(pathStr))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      val sizeOk = """"file_size":(\d+)""".r.findFirstMatchIn(txt)
+        .exists(_.group(1).toLong == fileSize)
+      if (!sizeOk) Map.empty // stale: pbf rewritten since the stats pass
+      else sidecarEntryRe.findAllMatchIn(txt).map { m =>
+        m.group(1).toLong -> BlobStats(
+          m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong,
+          Option(m.group(6)).map(_.toLong).getOrElse(Long.MinValue),
+          Option(m.group(7)).map(_.toLong).getOrElse(Long.MaxValue))
+      }.toMap
+    }
+  } catch { case _: Exception => Map.empty }
+
   def scan(pathStr: String, conf: Configuration = new Configuration()): ScanResult = {
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
@@ -119,7 +156,23 @@ object FrameScanner {
       }
       if (!done && offset < fileSize) truncated = true
     } finally in.close()
-    ScanResult(header, blobs.result(), fileSize, truncated)
+    val raw = blobs.result()
+    // foreign file (no embedded stats): merge the sidecar if one was built
+    val patched =
+      if (!raw.exists(b => b.blobType == "OSMData" && b.nodeCount < 0)) raw
+      else {
+        val side = loadSidecar(pathStr, fileSize, conf)
+        if (side.isEmpty) raw
+        else raw.map { b =>
+          if (b.blobType == "OSMData" && b.nodeCount < 0)
+            side.get(b.headerOffset).map(s => b.copy(
+              nodeCount = s.nodes, wayCount = s.ways, relationCount = s.relations,
+              changesetCount = s.changesets, minId = s.minId, maxId = s.maxId))
+              .getOrElse(b)
+          else b
+        }
+      }
+    ScanResult(header, patched, fileSize, truncated)
   }
 
   private def parseHeaderOrNull(buf: Array[Byte]): (PbfCodec.BlobHeaderMsg, Array[Byte]) = {

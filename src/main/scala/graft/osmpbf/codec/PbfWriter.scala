@@ -31,7 +31,8 @@ final class PbfWriter(
     compress: Boolean = true,
     dense: Boolean = true,
     elementsPerBlock: Int = 8000,
-    codec: String = "zlib") {
+    codec: String = "zlib",
+    withStats: Boolean = true) {
 
   require(Set("zlib", "zstd", "lzma", "bzip2", "lz4").contains(codec),
     s"unsupported write codec $codec (zlib, zstd, lzma, bzip2 or lz4)")
@@ -110,17 +111,22 @@ final class PbfWriter(
     if (latOffset != 0L) block.varint(19, latOffset)
     if (lonOffset != 0L) block.varint(20, lonOffset)
 
-    val allIds = nodes.iterator.map(_.id) ++ ways.iterator.map(_.id) ++
-      relations.iterator.map(_.id) ++ changesets.iterator.map(_.id)
-    val ids = allIds.toArray
-    val stats = new ProtoWriter
-    stats.varint(1, nodes.size.toLong)
-    stats.varint(2, ways.size.toLong)
-    stats.varint(3, relations.size.toLong)
-    stats.varint(4, changesets.size.toLong)
-    if (ids.nonEmpty) { stats.sint(5, ids.min); stats.sint(6, ids.max) }
-
-    writeFrame("OSMData", block.toBytes, Some(stats.toBytes))
+    // withStats=false emulates a FOREIGN writer (planet dumps, osmium):
+    // no indexdata → readers see unknown counts — the input the sidecar
+    // stats builder (OsmStats.buildBlobStats) exists for
+    val indexdata = if (!withStats) None else {
+      val allIds = nodes.iterator.map(_.id) ++ ways.iterator.map(_.id) ++
+        relations.iterator.map(_.id) ++ changesets.iterator.map(_.id)
+      val ids = allIds.toArray
+      val stats = new ProtoWriter
+      stats.varint(1, nodes.size.toLong)
+      stats.varint(2, ways.size.toLong)
+      stats.varint(3, relations.size.toLong)
+      stats.varint(4, changesets.size.toLong)
+      if (ids.nonEmpty) { stats.sint(5, ids.min); stats.sint(6, ids.max) }
+      Some(stats.toBytes)
+    }
+    writeFrame("OSMData", block.toBytes, indexdata)
     nodes.clear(); ways.clear(); relations.clear(); changesets.clear()
   }
 
@@ -295,10 +301,11 @@ object PbfWriter {
       compress: Boolean = true,
       dense: Boolean = true,
       elementsPerBlock: Int = 8000,
-      codec: String = "zlib"): PbfWriter =
+      codec: String = "zlib",
+      withStats: Boolean = true): PbfWriter =
     new PbfWriter(new BufferedOutputStream(new FileOutputStream(path), 1 << 16),
       granularity, latOffset, lonOffset, dateGranularity, compress, dense,
-      elementsPerBlock, codec)
+      elementsPerBlock, codec, withStats)
 }
 
 /** Per-block string table with index 0 fixed to "" (string_table.rs:11-16). */

@@ -35,6 +35,67 @@ object OsmStats {
       .withColumn("max_id", when(col("max_id") =!= Long.MaxValue, col("max_id")))
   }
 
+  /** One-pass sidecar stats builder for FOREIGN .osm.pbf files (files whose
+    * writer embedded no per-blob indexdata — planet dumps, osmium output).
+    * Without stats, F5 count pruning and S9 row statistics degrade to
+    * conservative include-all (reference-analog indexed_reader.rs:282-300).
+    * This pass runs a task per file on executors, decodes each uncounted
+    * data blob with tag/info resolution OFF (counts + id zone map only),
+    * and writes `<file>.graft-stats.json` atomically next to the data;
+    * `FrameScanner.scan` merges the sidecar on every later read, so
+    * pushdown and statistics behave as if the writer had embedded stats.
+    * The sidecar records the pbf's file size — a rewritten file silently
+    * invalidates it. Returns one summary row per file. */
+  def buildBlobStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val confS = new graft.util.SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val paths = OsmPbfSource.resolvePaths(path, confS.value)
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 2048)))
+      .map { p =>
+        val conf = confS.value
+        val res = FrameScanner.scan(p, conf)
+        val missing = res.blobs.filter(b => b.blobType == "OSMData" && b.nodeCount < 0)
+        if (missing.isEmpty) (p, 0, res.blobs.size, false)
+        else {
+          val entries = missing.map { ptr =>
+            val payload = FrameScanner.readBlobPayload(ptr, conf)
+            val raw = graft.osmpbf.codec.PbfCodec.decodeBlobPayload(payload, 0, payload.length)
+            var n, w, r, c = 0L
+            var lo = Long.MaxValue
+            var hi = Long.MinValue
+            def fold(id: Long): Unit = { if (id < lo) lo = id; if (id > hi) hi = id }
+            val h = new graft.osmpbf.codec.PbfCodec.ElementHandler {
+              def onNode(id: Long, latNd: Long, lonNd: Long, lat: Double, lon: Double,
+                  tagK: Array[String], tagV: Array[String],
+                  info: graft.osmpbf.codec.PbfCodec.InfoData): Unit = { n += 1; fold(id) }
+              def onWay(id: Long, refs: Array[Long], tagK: Array[String], tagV: Array[String],
+                  info: graft.osmpbf.codec.PbfCodec.InfoData): Unit = { w += 1; fold(id) }
+              def onRelation(id: Long, memids: Array[Long], roles: Array[String],
+                  types: Array[Byte], tagK: Array[String], tagV: Array[String],
+                  info: graft.osmpbf.codec.PbfCodec.InfoData): Unit = { r += 1; fold(id) }
+              def onChangeSet(id: Long, tagK: Array[String], tagV: Array[String]): Unit = {
+                c += 1; fold(id)
+              }
+            }
+            graft.osmpbf.codec.PbfCodec.decodeBlock(raw, h,
+              graft.osmpbf.codec.PbfCodec.KindAll, wantTags = false, wantInfo = false)
+            s"""{"offset":${ptr.headerOffset},"nodes":$n,"ways":$w,"relations":$r,"changesets":$c""" +
+              (if (n + w + r + c > 0) s""","min_id":$lo,"max_id":$hi}""" else "}")
+          }
+          val json = s"""{"file_size":${res.fileSize},"blobs":[${entries.mkString(",")}]}"""
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          graft.util.HadoopIO.writeAtomic(hp.getParent.toString,
+            hp.getName + ".graft-stats.json", conf, attempt)(
+            _.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          (p, missing.size, res.blobs.size, true)
+        }
+      }
+      .toDF("path", "blobs_counted", "blobs_total", "sidecar_written")
+  }
+
   /** ProcessingStats analog (reader.rs:44-52) in one scan. */
   def processingStats(spark: SparkSession, path: String): DataFrame =
     OsmPbf.raw(spark, path)

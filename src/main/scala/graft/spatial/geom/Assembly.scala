@@ -61,22 +61,44 @@ object Assembly {
   }
 
   /** Multipolygon relations → polygons with outer + inner rings (J2).
-    * Depth-1 only: OSM multipolygons reference ways (relation.rs:26-32,
-    * member_type.rs). Outer rings sort before inner so even-odd PIP sees
-    * a consistent ring order (the test itself is order-independent).
+    *
+    * Depth ≤ 2: members of type `relation` (reference member_type.rs:4-8
+    * `MemberType::Relation`, relation.rs:26-33 — route masters, boundary
+    * super-relations) contribute the WAY members of the referenced relation,
+    * with the sub-members' own roles. The resolve is ONE static join, never
+    * a recursion — so the depth cap is structural and relation cycles
+    * (A→B→A, or A→A) cannot loop: a deeper nesting level is simply not
+    * expanded, and duplicate (way, role) contributions collapse. Outer
+    * rings sort before inner (then by way id — deterministic for relations
+    * with several outer rings) so even-odd PIP sees a consistent ring order
+    * (the test itself is order-independent).
     */
   def polygonsFromRelations(relations: DataFrame, wayGeoms: DataFrame): DataFrame = {
-    val members = relations
+    val m0 = relations
       .where(element_at(col("tags"), "type") === "multipolygon")
       .select(col("id").as("rel_id"), col("tags"), explode(col("members")).as("m"))
+    val direct = m0
       .where(col("m.mtype") === "way" && col("m.role").isin("outer", "inner"))
       .select(col("rel_id"), col("tags"), col("m.memid").as("way_id"), col("m.role").as("role"))
+    // super-relation members: pull the referenced relation's way members
+    // (any sub-relation type — a boundary sub-relation still contributes
+    // its rings to a multipolygon super)
+    val subRefs = m0
+      .where(col("m.mtype") === "relation")
+      .select(col("rel_id"), col("tags"), col("m.memid").as("sub_id"))
+    val subWayMembers = relations
+      .select(col("id").as("sub_id"), explode(col("members")).as("sm"))
+      .where(col("sm.mtype") === "way" && col("sm.role").isin("outer", "inner"))
+      .select(col("sub_id"), col("sm.memid").as("way_id"), col("sm.role").as("role"))
+    val viaSub = subRefs.join(subWayMembers, "sub_id")
+      .select(col("rel_id"), col("tags"), col("way_id"), col("role"))
+    val members = direct.unionByName(viaSub).dropDuplicates("rel_id", "way_id", "role")
     members
       .join(wayGeoms.select(col("id").as("way_id"), col("pts")), "way_id")
       .groupBy(col("rel_id").as("id"))
       .agg(
         first(col("tags")).as("tags"),
-        expr("transform(sort_array(collect_list(struct(case when role = 'outer' then 0 else 1 end as r, pts))), x -> x.pts)")
+        expr("transform(sort_array(collect_list(struct(case when role = 'outer' then 0 else 1 end as r, way_id as w, pts))), x -> x.pts)")
           .as("rings"))
       .withColumn("bbox", bboxOf(col("rings")))
       .select("id", "rings", "tags", "bbox")

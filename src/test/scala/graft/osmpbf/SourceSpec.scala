@@ -121,6 +121,67 @@ class SourceSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("foreign file without embedded stats: sidecar pass restores pruning and row stats") {
+    import graft.osmpbf.codec.{FrameScanner, PbfWriter}
+    // a "foreign" pbf: same world, but written with withStats=false — the
+    // shape of planet dumps / osmium output (no indexdata in BlobHeaders)
+    val fPath = s"$tmpDir/foreign_nostats.osm.pbf"
+    val w = new PbfWriter(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(fPath), 1 << 16), elementsPerBlock = 300,
+      withStats = false)
+    w.writeHeader(graft.osmpbf.model.HeaderMeta(
+      Seq("OsmSchema-V0.6", "DenseNodes"), Nil, "foreign", "synthetic",
+      None, None, None, None))
+    world.nodes.foreach(w.addNode)
+    world.ways.foreach(w.addWay)
+    world.relations.foreach(w.addRelation)
+    w.close()
+    val conf = spark.sessionState.newHadoopConf()
+    val before = FrameScanner.scan(fPath, conf).blobs.filter(_.blobType == "OSMData")
+    assert(before.nonEmpty && before.forall(_.nodeCount < 0), "foreign file must carry no stats")
+    // decode still correct, but every data blob survives a relations-only
+    // scan (conservative include-all)
+    val keptBefore = before.count(b =>
+      graft.osmpbf.source.OsmPbfScan.keepBlob(b, graft.osmpbf.codec.PbfCodec.KindRelation,
+        Long.MinValue, Long.MaxValue))
+    assert(keptBefore === before.size)
+
+    // one stats pass builds the sidecar on executors
+    val summary = graft.osmpbf.source.OsmStats.buildBlobStats(spark, fPath).collect()
+    assert(summary.length === 1 && summary.head.getAs[Boolean]("sidecar_written"))
+    assert(summary.head.getAs[Int]("blobs_counted") === before.size)
+
+    // scans now see counts: relations-only keeps a strict subset of blobs,
+    // and totals match ground truth exactly
+    val after = FrameScanner.scan(fPath, conf).blobs.filter(_.blobType == "OSMData")
+    assert(after.forall(_.nodeCount >= 0), "sidecar not merged into scan")
+    assert(after.map(_.nodeCount).sum === world.nodes.size.toLong)
+    assert(after.map(_.relationCount).sum === world.relations.size.toLong)
+    val keptAfter = after.count(b =>
+      graft.osmpbf.source.OsmPbfScan.keepBlob(b, graft.osmpbf.codec.PbfCodec.KindRelation,
+        Long.MinValue, Long.MaxValue))
+    assert(keptAfter < before.size, "relations-only scan must prune node-only blobs")
+    // end-to-end read through the pruned plan stays exact
+    assert(OsmPbf.relations(spark, fPath).count() === world.relations.size.toLong)
+    assert(OsmPbf.raw(spark, fPath).count() ===
+      (world.nodes.size + world.ways.size + world.relations.size).toLong)
+    // a second pass is a no-op (stats already visible)
+    val summary2 = graft.osmpbf.source.OsmStats.buildBlobStats(spark, fPath).collect()
+    assert(!summary2.head.getAs[Boolean]("sidecar_written"))
+
+    // rewriting the pbf invalidates the sidecar (file-size guard)
+    val w2 = new PbfWriter(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(fPath), 1 << 16), elementsPerBlock = 299,
+      withStats = false)
+    w2.writeHeader(graft.osmpbf.model.HeaderMeta(
+      Seq("OsmSchema-V0.6", "DenseNodes"), Nil, "foreign", "synthetic",
+      None, None, None, None))
+    world.nodes.take(100).foreach(w2.addNode)
+    w2.close()
+    val rewritten = FrameScanner.scan(fPath, conf).blobs.filter(_.blobType == "OSMData")
+    assert(rewritten.forall(_.nodeCount < 0), "stale sidecar must not validate")
+  }
+
   test("multiple files in a directory read as one table") {
     val dir = java.nio.file.Files.createTempDirectory("multi").toString
     val w1 = OsmWorld.generate(seed = 1, nClusters = 1, nodesPerCluster = 30)

@@ -28,10 +28,21 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
       .filter(w => w.refs.head == w.refs.last && w.refs.size > 3 &&
         Seq("building", "landuse", "natural", "leisure", "amenity").exists(w.tags.contains))
       .map(w => ("way", w.id) -> Seq(w.refs.map(nodeById)))
+    val relById = world.relations.map(r => r.id -> r).toMap
     val fromRels = world.relations
       .filter(_.tags.get("type").contains("multipolygon"))
       .map { r =>
-        val rings = r.members.sortBy(m => if (m.role == "outer") 0 else 1)
+        // depth-2 resolution mirror: way members directly, plus the way
+        // members (with their own roles) of relation-typed members
+        val resolved = r.members.flatMap {
+          case m if m.mtype == "way" && Seq("outer", "inner").contains(m.role) => Seq(m)
+          case m if m.mtype == "relation" =>
+            relById.get(m.memid).toSeq.flatMap(_.members
+              .filter(s => s.mtype == "way" && Seq("outer", "inner").contains(s.role)))
+          case _ => Seq.empty
+        }.distinctBy(m => (m.memid, m.role))
+        val rings = resolved
+          .sortBy(m => (if (m.role == "outer") 0 else 1, m.memid))
           .map(m => wayById(m.memid).refs.map(nodeById).toSeq)
         ("relation", r.id) -> rings.toSeq
       }
@@ -66,6 +77,33 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
     expectedPolys.foreach { case (k, expRings) =>
       assert(got(k).map(_.toSeq).toSeq === expRings.map(_.toSeq).toSeq, s"polygon $k")
     }
+  }
+
+  test("J2 super-relation (relation-of-relations) resolves to depth 2 with all rings") {
+    // every super_zone relation must assemble: its own outer ring + the
+    // referenced zone relation's outer AND inner rings = 3 rings, 2 outer
+    val supers = world.relations.filter(_.tags.get("name").exists(_.startsWith("super_zone")))
+    assert(supers.nonEmpty && supers.forall(_.members.exists(_.mtype == "relation")))
+    val got = polys.where(col("src") === "relation").collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](r.fieldIndex("rings")).size)
+      .toMap
+    supers.foreach { s =>
+      assert(got(s.id) === 3, s"super-relation ${s.id} ring count")
+    }
+    // and a cycle cannot loop: a self-referencing multipolygon resolves to
+    // its own way members exactly once
+    import spark.implicits._
+    val selfRel = Seq((1L, Map("type" -> "multipolygon"),
+      Seq((101L, "outer", "way"), (1L, "", "relation")))).toDF("id", "tags", "m")
+      .select(col("id"), col("tags"), expr(
+        "transform(m, x -> struct(x._1 as memid, x._2 as role, x._3 as mtype))").as("members"))
+    val wg = Seq((101L, Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0))))
+      .toDF("id", "p")
+      .select(col("id"), expr("transform(p, q -> struct(q._1 as lon, q._2 as lat))").as("pts"))
+    val cyc = Assembly.polygonsFromRelations(selfRel, wg).collect()
+    assert(cyc.length === 1)
+    assert(cyc.head.getSeq[Any](cyc.head.fieldIndex("rings")).size === 1)
   }
 
   private def mkPoints(n: Int): DataFrame = {
