@@ -50,15 +50,31 @@ object OsmStats {
     import spark.implicits._
     val confS = new graft.util.SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val paths = OsmPbfSource.resolvePaths(path, confS.value)
-    spark.sparkContext
-      .parallelize(paths, math.max(1, math.min(paths.size, 2048)))
+    // Stage 1 — frame scan per file (lengths only, cheap) on executors.
+    // Stage 2 — counting decode per BLOB, repartitioned: the canonical
+    // foreign input is ONE multi-GB planet file, so file-granular tasks
+    // would put the whole decode on one core; blob-granular tasks spread
+    // it across the cluster. Stage 3 — one reducer per file assembles and
+    // writes its sidecar (entries are ~100 B strings; the raw payloads
+    // never move). The driver only ever holds the per-file summary.
+    val sc = spark.sparkContext
+    val scanned = sc.parallelize(paths, math.max(1, math.min(paths.size, 2048)))
       .map { p =>
-        val conf = confS.value
-        val res = FrameScanner.scan(p, conf)
+        val res = FrameScanner.scan(p, confS.value)
         val missing = res.blobs.filter(b => b.blobType == "OSMData" && b.nodeCount < 0)
-        if (missing.isEmpty) (p, 0, res.blobs.size, false)
-        else {
-          val entries = missing.map { ptr =>
+        (p, res.fileSize, res.blobs.size, missing)
+      }
+    scanned.cache()
+    val nMissing = scanned.map(_._4.size).fold(0)(_ + _)
+    val summary =
+      if (nMissing == 0)
+        scanned.map { case (p, _, total, _) => (p, 0, total, false) }.collect().toSeq
+      else {
+        val entries = scanned
+          .flatMap { case (p, _, _, missing) => missing }
+          .repartition(math.max(1, math.min(nMissing, 2048)))
+          .map { ptr =>
+            val conf = confS.value
             val payload = FrameScanner.readBlobPayload(ptr, conf)
             val raw = graft.osmpbf.codec.PbfCodec.decodeBlobPayload(payload, 0, payload.length)
             var n, w, r, c = 0L
@@ -80,20 +96,32 @@ object OsmStats {
             }
             graft.osmpbf.codec.PbfCodec.decodeBlock(raw, h,
               graft.osmpbf.codec.PbfCodec.KindAll, wantTags = false, wantInfo = false)
-            s"""{"offset":${ptr.headerOffset},"nodes":$n,"ways":$w,"relations":$r,"changesets":$c""" +
-              (if (n + w + r + c > 0) s""","min_id":$lo,"max_id":$hi}""" else "}")
+            val idRange = if (n + w + r + c > 0) s""","min_id":$lo,"max_id":$hi}""" else "}"
+            (ptr.path, (ptr.headerOffset,
+              s"""{"offset":${ptr.headerOffset},"nodes":$n,"ways":$w,"relations":$r,"changesets":$c$idRange"""))
           }
-          val json = s"""{"file_size":${res.fileSize},"blobs":[${entries.mkString(",")}]}"""
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val attempt = Option(org.apache.spark.TaskContext.get())
-            .map(_.taskAttemptId()).getOrElse(0L)
-          graft.util.HadoopIO.writeAtomic(hp.getParent.toString,
-            hp.getName + ".graft-stats.json", conf, attempt)(
-            _.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          (p, missing.size, res.blobs.size, true)
-        }
+        val sizes = scanned.map { case (p, sz, _, _) => (p, sz) }
+        val written = entries.groupByKey(math.max(1, math.min(paths.size, 2048)))
+          .join(sizes)
+          .map { case (p, (es, fileSize)) =>
+            val conf = confS.value
+            val body = es.toSeq.sortBy(_._1).map(_._2).mkString(",")
+            val json = s"""{"file_size":$fileSize,"blobs":[$body]}"""
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            graft.util.HadoopIO.writeAtomic(hp.getParent.toString,
+              hp.getName + ".graft-stats.json", conf, attempt)(
+              _.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            (p, es.size)
+          }.collect().toMap
+        scanned.map { case (p, _, total, missing) => (p, missing.size, total, missing.nonEmpty) }
+          .collect().toSeq
+          .map { case (p, counted, total, wrote) =>
+            (p, written.getOrElse(p, counted), total, wrote) }
       }
-      .toDF("path", "blobs_counted", "blobs_total", "sidecar_written")
+    scanned.unpersist(blocking = false)
+    summary.toDF("path", "blobs_counted", "blobs_total", "sidecar_written")
   }
 
   /** ProcessingStats analog (reader.rs:44-52) in one scan. */

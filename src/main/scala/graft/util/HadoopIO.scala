@@ -85,9 +85,14 @@ object HadoopIO {
   }
 
   /** Create `path` exclusively (overwrite=false): returns true iff THIS
-    * call created it. Atomic on HDFS and local FS (the create either wins
-    * or throws); S3A has no atomic create — on object stores, slot a real
-    * catalog/lock service into the seam that calls this.
+    * call created it. Atomic on HDFS (the namenode create either wins or
+    * throws) and on the local FS — where Hadoop's own
+    * `RawLocalFileSystem.create(overwrite=false)` is an exists()-then-open
+    * TOCTOU race (two concurrent callers can BOTH "win"; observed as a
+    * lost ImageTable append under the full test suite's load), so local
+    * paths go through `java.nio.Files.createFile`, a true O_EXCL. S3A has
+    * no atomic create — on object stores, slot a real catalog/lock service
+    * into the seam that calls this.
     *
     * Only "already exists" maps to `false`; any other IOException (missing
     * parent permissions, network failure) RETHROWS — a transient FS error
@@ -97,10 +102,26 @@ object HadoopIO {
   def createExclusive(path: String, content: String, conf: Configuration): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    // scheme-based, not class-based: Spark's Hive jars register
+    // ProxyLocalFileSystem for file://, so no class allowlist survives —
+    // but anything resolving through the file scheme IS posix disk, where
+    // nio gives a true O_EXCL
+    val effScheme = Option(p.toUri.getScheme).getOrElse(fs.getUri.getScheme)
+    val localToctou = effScheme == null || effScheme == "file"
     try {
-      val out = fs.create(p, false)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      if (localToctou) {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath match {
+          case "" => p.toString
+          case abs => abs
+        })
+        Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.createFile(nio) // O_EXCL — the atomic win/lose
+        java.nio.file.Files.write(nio, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false

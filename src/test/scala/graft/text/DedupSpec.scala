@@ -100,6 +100,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m.forall(_.getAs[Long]("oversize_rows") === 0L))
   }
 
+  test("groupBy collapse shuffles measurably fewer bytes than a signature window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate-heavy corpus (the case the collapse exists for): 2000 docs,
+    // 20 distinct texts. The round-3 shape shuffled EVERY row keyed by the
+    // 1 KB signature array (window); the round-4 groupBy partial-aggregates
+    // map-side, so only one row per distinct signature per map partition
+    // reaches the exchange. Measured on the plans' own shuffle metrics.
+    val dup = (1L to 2000L).map(i =>
+      (i, s"boilerplate page variant number ${i % 20} with some shared filler text"))
+      .toDF("doc_id", "text").repartition(4).cache()
+    dup.count()
+    val sigUdf = udf((t: String) => Dedup.minhashSignature(t, 128, 5))
+    def shuffleWrite(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain exchanges, readable metrics
+    try {
+      val base = dup.select(col("doc_id").as("_id"), sigUdf(col("text")).as("sig"))
+      val oldStyle = base
+        .withColumn("_rep", min(col("_id")).over(Window.partitionBy("sig")))
+        .where(col("_id") === col("_rep")).select(col("_id"), col("sig"))
+      val newStyle = base.groupBy(col("sig"))
+        .agg(min("_id").as("_id"), collect_list("_id").as("_ids"))
+        .select(col("_id"), col("sig"))
+      val oldBytes = shuffleWrite(oldStyle)
+      val newBytes = shuffleWrite(newStyle)
+      assert(oldBytes > 0 && newBytes > 0)
+      assert(newBytes < oldBytes / 2,
+        s"collapse shuffle not reduced: window=$oldBytes bytes, groupBy=$newBytes bytes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    dup.unpersist()
+  }
+
   test("bucket guard reports oversize buckets through observed metrics") {
     import spark.implicits._
     // 10 distinct ids in ONE band bucket with cap 3 → the guard must split

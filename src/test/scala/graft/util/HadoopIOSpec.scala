@@ -7,6 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** A FileSystem whose create always fails with a non-"already exists"
   * IOException — stands in for a transient network/permission failure. */
 class FaultyCreateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  // own scheme: file:// now short-circuits to the nio O_EXCL path inside
+  // createExclusive, so the faulty create must arrive via a non-file URI
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
   override def create(f: org.apache.hadoop.fs.Path,
       permission: org.apache.hadoop.fs.permission.FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
@@ -69,12 +72,32 @@ class HadoopIOSpec extends AnyFunSuite with SparkTestBase {
     // reported as "lock held" — a caller would spin until timeout on a
     // phantom lock (round-3 ADVICE)
     val c2 = spark.sessionState.newHadoopConf()
-    c2.set("fs.file.impl", classOf[FaultyCreateFs].getName)
-    c2.set("fs.file.impl.disable.cache", "true")
+    c2.set("fs.faulty.impl", classOf[FaultyCreateFs].getName)
+    c2.set("fs.faulty.impl.disable.cache", "true")
     val ex = intercept[java.io.IOException] {
-      HadoopIO.createExclusive(s"file://$dir/never/lock", "c", c2)
+      HadoopIO.createExclusive(s"faulty://$dir/never/lock", "c", c2)
     }
     assert(ex.getMessage.contains("simulated transient failure"))
+  }
+
+  test("createExclusive under contention: exactly one winner per lock cycle") {
+    // Hadoop's RawLocalFileSystem.create(overwrite=false) is an
+    // exists()-then-open TOCTOU — two simultaneous callers could both
+    // "win" (observed: a lost ImageTable append). Local paths now go
+    // through nio O_EXCL; this hammers the race window.
+    val dir = s"$tmpDir/hio-race"
+    (1 to 50).foreach { round =>
+      val p = s"$dir/lock-$round"
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val threads = (1 to 8).map(i => new Thread(() => {
+        barrier.await()
+        if (HadoopIO.createExclusive(p, s"t$i", conf)) winners.incrementAndGet()
+      }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(winners.get === 1, s"round $round: ${winners.get} winners")
+    }
   }
 
   test("SerializableHadoopConf round-trips custom settings through Java serialization") {
