@@ -147,6 +147,74 @@ object ImageTable {
     } finally graft.util.HadoopIO.delete(lock, conf)
   }
 
+  /** Expire all snapshots except the `keepLast` most recent (Iceberg
+    * `expireSnapshots` analog): deletes their metadata files so time travel
+    * to them fails fast, then returns the ids expired. Data files shared
+    * with surviving snapshots are untouched — run [[vacuum]] afterwards to
+    * reclaim files no surviving manifest references. */
+  def expireSnapshots(spark: SparkSession, root: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val conf = spark.sessionState.newHadoopConf()
+    val current = currentSnapshot(spark, root)
+    val all = listSnapshots(root, conf)
+    val keep = all.sorted.takeRight(keepLast).toSet + current
+    val expire = all.filterNot(keep)
+    expire.foreach(id =>
+      graft.util.HadoopIO.delete(s"$root/metadata/v$id.metadata.json", conf))
+    expire
+  }
+
+  private def listSnapshots(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/metadata")
+    val fs = graft.util.HadoopIO.fileSystem(root, conf)
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      """^v(\d+)\.metadata\.json$""".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong)
+    }
+  }
+
+  /** Garbage-collect the table's data directory: any file under
+    * `<root>/data` that no SURVIVING snapshot's manifest references is
+    * deleted — this reclaims (a) orphaned `txn-*` dirs from appends that
+    * failed before their metadata commit and (b) data files stranded by
+    * [[expireSnapshots]]. Reads go through manifests, never listings, so
+    * vacuum can run concurrently with readers of surviving snapshots; it
+    * must not run concurrently with an in-flight append (whose txn dir is
+    * not yet referenced) unless `minAgeMs` exceeds the longest plausible
+    * data-write, which is why the default keeps anything younger than 1 h.
+    * Returns the deleted paths. */
+  def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 3600000L): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.util.HadoopIO.fileSystem(root, conf)
+    val referenced: Set[String] = listSnapshots(root, conf)
+      .flatMap(id => manifest(spark, root, id)).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    if (!fs.exists(dataDir)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val deleted = Seq.newBuilder[String]
+    fs.listStatus(dataDir).foreach { sub =>
+      // each child is a snapshot or txn dir of part-files
+      val files = if (sub.isDirectory) fs.listStatus(sub.getPath).toSeq else Seq(sub)
+      files.filter(_.isFile).foreach { f =>
+        val live = referenced.contains(f.getPath.toString)
+        val young = now - f.getModificationTime < minAgeMs
+        val marker = f.getPath.getName.startsWith("_") // _SUCCESS etc.
+        if (!live && !young && !marker) {
+          fs.delete(f.getPath, false)
+          deleted += f.getPath.toString
+        }
+      }
+      // drop dirs emptied of data files (markers alone don't keep a dir)
+      if (sub.isDirectory) {
+        val rest = fs.listStatus(sub.getPath)
+        if (rest.forall(r => r.isFile && r.getPath.getName.startsWith("_")))
+          fs.delete(sub.getPath, true)
+      }
+    }
+    deleted.result()
+  }
+
   /** Incremental read: the rows ADDED between two snapshots — the files in
     * `toSnapshot`'s manifest that are not in `fromSnapshot`'s. Reads only
     * the delta (an empty diff is an empty DataFrame with the table schema),

@@ -109,6 +109,38 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(ImageTable.load(spark, root).select("image_id").distinct().count() === 30)
   }
 
+  test("expireSnapshots + vacuum reclaim unreferenced data files and orphan txn dirs") {
+    val root = s"$tmpDir/imageTable6"
+    val conf = spark.sessionState.newHadoopConf()
+    ImageTable.write(Images.synthesize(spark, 10, centers, 2), root, snapshotId = 1L)
+    // full rewrite (no shared files): snapshot 2 references only its own data
+    ImageTable.write(Images.synthesize(spark, 12, centers, 2), root, snapshotId = 2L)
+    // orphaned txn dir: an append that died before its metadata commit
+    graft.util.HadoopIO.writeString(
+      s"$root/data/txn-dead/part-00000-dead.parquet", "junk", conf)
+    val expired = ImageTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(expired === Seq(1L))
+    intercept[Exception] { ImageTable.loadSnapshot(spark, root, 1L) }
+    val deleted = ImageTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(deleted.exists(_.contains("snap=1")), "snapshot-1 data not reclaimed")
+    assert(deleted.exists(_.contains("txn-dead")), "orphan txn dir not reclaimed")
+    assert(deleted.forall(!_.contains("snap=2")), "live snapshot data must survive")
+    // live reads unaffected; a second vacuum is a no-op
+    assert(ImageTable.load(spark, root).count() === 12)
+    assert(ImageTable.vacuum(spark, root, minAgeMs = 0L).isEmpty)
+    // shared-file safety: an append's snapshot shares the parent's files —
+    // expiring the parent must NOT reclaim files the child still references
+    val root2 = s"$tmpDir/imageTable7"
+    ImageTable.write(Images.synthesize(spark, 10, centers, 2), root2, snapshotId = 1L)
+    val delta = Images.synthesize(spark, 12, centers, 2)
+      .where(col("image_id") > Images.idString(9L))
+    ImageTable.append(delta, root2)
+    assert(ImageTable.expireSnapshots(spark, root2, keepLast = 1) === Seq(1L))
+    val deleted2 = ImageTable.vacuum(spark, root2, minAgeMs = 0L)
+    assert(deleted2.isEmpty, s"shared parent files reclaimed: $deleted2")
+    assert(ImageTable.load(spark, root2).count() === 12)
+  }
+
   test("append lock: a fresh lock blocks until timeout; a stale one is broken") {
     val root = s"$tmpDir/imageTable4"
     val conf = spark.sessionState.newHadoopConf()
