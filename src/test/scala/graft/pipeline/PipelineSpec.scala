@@ -128,6 +128,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.forall(_.skipped))
   }
 
+  test("concurrent buckets measurably beat sequential on a multi-bucket fixture") {
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile").agg(count(lit(1)).as("n"))
+    def timed(par: Int, tag: String): Double = {
+      val t0 = System.nanoTime()
+      CheckpointedRunner.run(spark, tiled, s"$tmpDir/ckpt-wall-$tag", work,
+        bucketRes = 2, lineage = "w", parallelism = par)
+      (System.nanoTime() - t0) / 1e9
+    }
+    timed(1, "warm") // JIT/staging warmup so the comparison isn't first-run noise
+    val seq = timed(1, "seq")
+    val conc = timed(4, "conc")
+    info(f"sequential=$seq%.2fs concurrent(4)=$conc%.2fs speedup=${seq / conc}%.2fx")
+    // conservative: the driver-serialized bucket tail must visibly shrink
+    // (typical speedup ~2x on this 4-core test session; 0.9 guards noise)
+    assert(conc < seq * 0.9, f"no wall drop: seq=$seq%.2fs conc=$conc%.2fs")
+  }
+
   test("crash mid-concurrent-run: finished buckets keep markers, resume completes") {
     val outDir = s"$tmpDir/ckpt-conc-crash"
     val tiled = Tiles.assignPoints(images, 10)
