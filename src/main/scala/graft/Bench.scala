@@ -217,9 +217,15 @@ object Bench {
     val rounds = roundsBuf.toSeq
     val efficiency = medianEff(rounds) // the gate statistic
     // representative pair for the headline sec/rows fields: the matched
-    // round whose efficiency is closest to the median (earliest on ties)
-    val ((secLow, rowsLow), (secHigh, rowsHigh)) =
+    // round whose efficiency is closest to the median (earliest on ties).
+    // NOTE: with an even round count the median is BETWEEN rounds, so
+    // recomputing efficiency from the headline sec/rows fields gives that
+    // round's value, not the median — `headline_round` names the source
+    // round so an auditor can reconcile the two.
+    val headlinePair =
       rounds.minBy(r => (math.abs(roundEff(r) - efficiency), rounds.indexOf(r)))
+    val ((secLow, rowsLow), (secHigh, rowsHigh)) = headlinePair
+    val headlineRound = rounds.indexOf(headlinePair) + 1
     val effBest = {
       val plausible = rounds.filter(roundEff(_) <= 1.05)
       if (plausible.nonEmpty) plausible.map(roundEff).max else rounds.map(roundEff).min
@@ -243,7 +249,7 @@ object Bench {
         s""""rows":$rowsHigh,"sec_low":$secLow,"sec_high":$secHigh,""" +
         s""""rows_per_s_low":$thrLow,"rows_per_s_high":$thrHigh,""" +
         s""""efficiency":$efficiency,"efficiency_stat":"median_of_matched_rounds",""" +
-        s""""efficiency_best":$effBest,"rounds":$roundsJson,""" +
+        s""""efficiency_best":$effBest,"headline_round":$headlineRound,"rounds":$roundsJson,""" +
         s""""cores_max":$cpus,"sec_max":$secMax,"rows_per_s_max":$thrMax}"""
     val json =
       s"""{"metric":"graft spatial-join + tile-assignment + parity throughput; per-query wall","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode":{"elements":$totalElems,"sec":$decodeSec,"elements_per_s":$decodeRate},"scaling":$scaling}"""

@@ -270,7 +270,11 @@ object SparkEntry {
       // vectors (no planted clusters), where narrow LSH buckets are
       // information-theoretically recall-poor — short hashes + more tables
       // trade candidate volume for recall, the knob a real corpus tunes to
-      // its own geometry (AnnSpec gates the narrow-bucket scale behavior)
+      // its own geometry (AnnSpec gates the narrow-bucket scale behavior).
+      // NOTE: at this corpus size the wide probe + the brute-force ground
+      // truth below cost MORE than exact search — e2's bench wall measures
+      // the LSH plumbing and its self-certification, not ANN speedup
+      // (which only exists when buckets are narrow relative to the corpus)
       val lsh = Ann.lshTopK(queries, corpus, k, nPlanes = 2, nTables = 8)
       // self-certifying value signal: the query stays no_oracle (signature
       // hashing isn't ANSI-SQL-expressible), but each row carries its

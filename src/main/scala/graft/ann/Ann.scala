@@ -120,11 +120,9 @@ object Ann {
     // exactly the blocks this call's own checkpoints created once the
     // returned result has its own (the round-1 knnJoin leak — repeated
     // lshTopK calls in a long-lived session otherwise accumulate dead
-    // checkpoint blocks). Tracking is by the checkpointed plans' RDD ids,
-    // never a global getPersistentRDDs diff — two concurrent lshTopK /
-    // Components calls in one session must not free each other's live
-    // blocks (round-3 ADVICE).
-    val owned = scala.collection.mutable.Set.empty[Int]
+    // checkpoint blocks; CheckpointTracker scaladoc for the concurrency
+    // contract)
+    val ckpt = new graft.util.CheckpointTracker(spark)
     val qb = withBuckets(queries, "q_vec")
     val cb = capBuckets(withBuckets(corpus, "c_vec"),
       Seq("table", "bucket"), "c_id", maxBucketSize, "lsh_topk_bucket_guard")
@@ -141,7 +139,7 @@ object Ann {
       .where(col("rank") <= k)
       .select("q_id", "c_id", "cos_sim", "rank")
       .localCheckpoint()
-    owned ++= org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(candidates)
+    ckpt.track(candidates)
 
     // Queries that found < k candidates need a fallback. The fallback is
     // picked from the corpus's Catalyst plan statistics, the same signal
@@ -173,10 +171,7 @@ object Ann {
     // materialize the result's own blocks (≤ k rows per query — small at
     // any scale), then free every block this call created before it
     val out = resultPlan.localCheckpoint()
-    val keep = org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(out)
-    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (owned.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
-    }
+    ckpt.freeAllExcept(out)
     out
   }
 
@@ -288,15 +283,12 @@ object Ann {
       lshBucket(vec, nPlanes, seed + table * 7919L))
     val tables = (0 until nTables).map(lit(_))
     val base = corpus.select(col("c_id").as("_id"), col("c_vec").as("_vec"))
-    // identical-vector collapse as a groupBy, not a window over the vector
-    // key (round-3 verdict item 4): partial aggregation combines map-side —
-    // an m-copy cluster ships one (vec, min, ids) row per map partition
-    // instead of m full rows keyed-and-sorted by the embedding array.
-    // Member ids are collected only when the expansion needs them.
-    val aggs = min("_id").as("_repid") +:
-      (if (expandExactGroups) Seq(collect_list("_id").as("_ids")) else Seq.empty)
-    val grouped = base.groupBy(col("_vec")).agg(aggs.head, aggs.tail: _*)
-    val reps = grouped.select(col("_repid").as("_id"), col("_vec"))
+    // identical-vector collapse via the shared partial-aggregating groupBy
+    // (Dedup.collapseByKey — round-3 verdict item 4: never a window keyed
+    // by the embedding array); members carry their vector, which is
+    // byte-identical to the representative's
+    val (reps, membership) = graft.text.Dedup.collapseByKey(
+      base, "_vec", "_id", expandExactGroups, keepKeyInMembers = true)
     val banded = reps.withColumn("table", explode(array(tables: _*)))
       .withColumn("bucket", bucketUdf(col("_vec"), col("table")))
     // count guard via partial-aggregated groupBy + broadcast of only the
@@ -329,8 +321,7 @@ object Ann {
       // representative, so cosine over the group's vector is bit-identical
       // to the un-collapsed plan's per-member computation; the pair join
       // keys on the long canonical id, never the vector array
-      val members = grouped.select(col("_repid").as("_rep"), col("_vec"),
-        explode(col("_ids")).as("_id"))
+      val members = membership.get
       val intra = members.as("x").join(
           members.select(col("_rep").as("_yrep"), col("_id").as("_yid")).as("y"),
           col("x._rep") === col("_yrep") && col("x._id") < col("_yid"))

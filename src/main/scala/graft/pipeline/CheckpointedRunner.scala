@@ -77,12 +77,16 @@ object CheckpointedRunner {
     *                skip, in-flight ones re-run. On failure, no NEW buckets
     *                start, in-flight ones finish (and keep their markers),
     *                and the first failure (in bucket order) is rethrown.
-    *                `parallelism = 1` preserves strict bucket order. */
+    *                Default 1 (strict bucket order): concurrency is OPT-IN
+    *                because it makes the `work` closure a concurrent API —
+    *                callers whose closure touches shared driver state
+    *                (session conf flips, counters) must pass >1 only once
+    *                the closure is thread-safe. */
   def run(spark: SparkSession, tiled: DataFrame, outDir: String,
       work: DataFrame => DataFrame, bucketRes: Int = 2,
       lineage: String = "unspecified",
       failInjector: Long => Unit = _ => (),
-      parallelism: Int = 4): Seq[BucketResult] = {
+      parallelism: Int = 1): Seq[BucketResult] = {
     val conf = spark.sessionState.newHadoopConf()
     val stagedDir = s"$outDir/staged_input"
     val lineageFile = s"$outDir/_staged_lineage.json"

@@ -46,7 +46,11 @@ object Main {
           .join(hits.groupBy("tile").agg(count(lit(1)).as("n_hits")), Seq("tile"), "left")
           .na.fill(0L, Seq("n_hits"))
       },
-      bucketRes = 2, lineage = lineage)
+      bucketRes = 2, lineage = lineage,
+      // the work closure above touches no shared driver state, so bucket
+      // jobs run concurrently (small-bucket tails would otherwise
+      // serialize on the driver)
+      parallelism = 4)
 
     val done = results.count(!_.skipped)
     val skipped = results.count(_.skipped)

@@ -112,15 +112,11 @@ object SpatialJoin {
     val poisL = org.apache.spark.sql.graftbridge.SessionBridge.ofRows(spark, pois)
     import spark.implicits._
     // Per-round localCheckpoints pin executor-memory blocks; on long loops
-    // these accumulate (round-1 leak). Track the RDD ids of exactly the
-    // checkpoints THIS call creates (never a global getPersistentRDDs diff,
-    // which races concurrent lshTopK/Components calls in one session),
-    // materialize the final result, then free all of them except the
-    // result's own blocks.
-    val owned = scala.collection.mutable.Set.empty[Int]
-    def track(df: DataFrame): DataFrame = {
-      owned ++= org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(df); df
-    }
+    // these accumulate (round-1 leak). Track exactly the checkpoints THIS
+    // call creates, materialize the final result, then free all of them
+    // except the result's own blocks (CheckpointTracker scaladoc).
+    val ckpt = new graft.util.CheckpointTracker(spark)
+    import ckpt.track
     {
     val diskUdf = udf((cell: Long, r: Int) => CellMath.disk(cell, r))
     val topkUdaf = udaf(new TopKAgg(k))
@@ -211,12 +207,17 @@ object SpatialJoin {
           (col("pos") + 1).cast("int").as("rank"))
       results = if (results == null) rest else results.unionByName(rest)
     }
+    if (results == null) {
+      // no point ever entered a round (empty points input): an empty
+      // result with the contract schema, typed off the actual inputs
+      results = active.select(col("pt_id")).limit(0)
+        .crossJoin(poiCells.select(col("poi_id")).limit(0))
+        .withColumn("dist_m", lit(0.0))
+        .withColumn("rank", lit(1).cast("int"))
+    }
     poiCells.unpersist()
     val out = results.localCheckpoint() // eager: result blocks materialized
-    val keep = org.apache.spark.sql.graftbridge.SessionBridge.checkpointRddIds(out)
-    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (owned.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
-    }
+    ckpt.freeAllExcept(out)
     org.apache.spark.sql.graftbridge.SessionBridge.ofRows(caller, out)
     }
   }

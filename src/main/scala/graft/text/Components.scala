@@ -58,16 +58,10 @@ object Components {
       maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     // per-iteration localCheckpoints pin executor blocks — free exactly the
-    // blocks THIS call's checkpoints created (tracked by RDD id from each
-    // checkpointed plan, never a global getPersistentRDDs diff, which would
-    // race a concurrent lshTopK/knnJoin and free ITS live blocks), except
-    // the returned result's own
-    val owned = scala.collection.mutable.Set.empty[Int]
-    def track(df: DataFrame): DataFrame = { owned ++= SessionBridge.checkpointRddIds(df); df }
-    def freeAllExcept(keep: Set[Int]): Unit =
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (owned.contains(id) && !keep.contains(id)) rdd.unpersist(blocking = false)
-      }
+    // blocks THIS call's checkpoints created, except the returned result's
+    // own (CheckpointTracker scaladoc)
+    val ckpt = new graft.util.CheckpointTracker(spark)
+    import ckpt.track
     val sym = track(edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
@@ -107,11 +101,11 @@ object Components {
         // call created (per-iteration checkpoints would otherwise
         // accumulate — the round-1 knnJoin leak)
         val out = labels.select(col("id"), col("comp").as("component")).localCheckpoint()
-        freeAllExcept(SessionBridge.checkpointRddIds(out))
+        ckpt.freeAllExcept(out)
         return out
       }
     }
-    freeAllExcept(Set.empty)
+    ckpt.freeAllExcept(Set.empty[Int])
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations")
   }

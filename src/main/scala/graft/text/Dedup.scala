@@ -134,6 +134,37 @@ object Dedup {
     (withSub, bandCols :+ "_sub")
   }
 
+  /** Collapse byte-identical `keyCol` groups to a canonical representative
+    * (minimum `idCol`) via ONE partial-aggregating groupBy — never a window
+    * keyed by the (possibly ~1 KB) key column: map-side combine ships one
+    * (key, min, ids) row per distinct key per map partition instead of
+    * every member row keyed-and-sorted by the array. Shared by the
+    * minhash / simhash / embedding near-dup collapses so the
+    * rep-selection rule can never diverge between them.
+    *
+    * @param keepMembers  collect member ids for the expand path (an
+    *                     m-member group's list is O(m) — bounded by the
+    *                     same clusters expansion is already quadratic in);
+    *                     false = the 100-TB reps-only mode
+    * @param keepKeyInMembers  carry `keyCol` onto member rows (the
+    *                     embedding path needs each member's vector, which
+    *                     is byte-identical to its representative's)
+    * @return (reps = one (idCol, keyCol) row per distinct key,
+    *          members = (_rep, [keyCol,] _id) when keepMembers) */
+  private[graft] def collapseByKey(df: DataFrame, keyCol: String, idCol: String,
+      keepMembers: Boolean, keepKeyInMembers: Boolean = false): (DataFrame, Option[DataFrame]) = {
+    val aggs = min(idCol).as("_repid") +:
+      (if (keepMembers) Seq(collect_list(idCol).as("_ids")) else Seq.empty)
+    val grouped = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val reps = grouped.select(col("_repid").as(idCol), col(keyCol))
+    val members =
+      if (!keepMembers) None
+      else Some(grouped.select((col("_repid").as("_rep") +:
+        (if (keepKeyInMembers) Seq(col(keyCol)) else Seq.empty)) :+
+        explode(col("_ids")).as("_id"): _*))
+    (reps, members)
+  }
+
   /** Aggregates for the bucket-guard `observe()` node: one row per OVERSIZE
     * bucket flows through it, so count = oversize buckets (0 when the guard
     * never fired), sum = rows inside them, max = the worst bucket. */
@@ -181,10 +212,7 @@ object Dedup {
     // clusters the expand mode is already quadratic in).
     val base = docs.select(col(idCol).as("_id"),
       minhashUdf(numHashes, shingleSize)(col(textCol)).as("sig"))
-    val aggs = min("_id").as("_repid") +:
-      (if (expandExactGroups) Seq(collect_list("_id").as("_ids")) else Seq.empty)
-    val grouped = base.groupBy(col("sig")).agg(aggs.head, aggs.tail: _*)
-    val reps = grouped.select(col("_repid").as("_id"), col("sig"))
+    val (reps, membership) = collapseByKey(base, "sig", "_id", expandExactGroups)
     // band key: hash of the signature slice — one shuffle on (band, key)
     val banded = reps.select(col("_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
@@ -201,10 +229,10 @@ object Dedup {
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"))
       .where(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
-    if (!expandExactGroups) repPairs
-    else expandGroups(repPairs,
-      grouped.select(explode(col("_ids")).as("_id"), col("_repid").as("_rep")),
-      lit(1.0).as("est_jaccard"), Seq("est_jaccard"))
+    membership match {
+      case None => repPairs
+      case Some(m) => expandGroups(repPairs, m, lit(1.0).as("est_jaccard"), Seq("est_jaccard"))
+    }
   }
 
   /** Expand canonical-representative pairs back to member pairs: intra-group
@@ -266,12 +294,7 @@ object Dedup {
       expandExactGroups: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming ≤ 3")
     val base = docs.select(col(idCol).as("_id"), simhashUdf(col(textCol)).as("simhash"))
-    // same groupBy collapse as minhashLsh (map-side partial aggregation; no
-    // window re-shuffle of every member row)
-    val aggs = min("_id").as("_repid") +:
-      (if (expandExactGroups) Seq(collect_list("_id").as("_ids")) else Seq.empty)
-    val grouped = base.groupBy(col("simhash")).agg(aggs.head, aggs.tail: _*)
-    val reps = grouped.select(col("_repid").as("_id"), col("simhash"))
+    val (reps, membership) = collapseByKey(base, "simhash", "_id", expandExactGroups)
     val banded = reps.select(col("_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
         "b -> (simhash >> (b * 16)) & 65535)")).as(Seq("band", "bucket")))
@@ -286,10 +309,10 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
-    if (!expandExactGroups) repPairs
-    else expandGroups(repPairs,
-      grouped.select(explode(col("_ids")).as("_id"), col("_repid").as("_rep")),
-      lit(0).as("hamming"), Seq("hamming"))
+    membership match {
+      case None => repPairs
+      case Some(m) => expandGroups(repPairs, m, lit(0).as("hamming"), Seq("hamming"))
+    }
   }
 
   /** Exact word-n-gram Jaccard similarity for candidate pairs (the

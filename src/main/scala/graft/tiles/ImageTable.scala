@@ -144,7 +144,15 @@ object ImageTable {
       commitMetadata(root, snapshotId, Some(parent), df.schema,
         parentManifest ++ newEntries, conf)
       snapshotId
-    } finally graft.util.HadoopIO.delete(lock, conf)
+    } finally {
+      // release ONLY our own lock instance: if this holder stalled past
+      // staleLockMs and a waiter broke the lock, it now carries the
+      // waiter's token — an unconditional delete would free the waiter's
+      // live lock and let a third appender race its commit
+      val still = try graft.util.HadoopIO.readString(lock, conf)
+        catch { case _: Exception => null }
+      if (still == token) graft.util.HadoopIO.delete(lock, conf)
+    }
   }
 
   /** Expire all snapshots except the `keepLast` most recent (Iceberg

@@ -79,6 +79,15 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("J4 kNN with empty points returns an empty typed result, not an NPE") {
+    import spark.implicits._
+    val noPts = Seq.empty[(Long, Double, Double)].toDF("pt_id", "lon", "lat")
+    val pois = Seq((1L, 0.0, 0.0), (2L, 1.0, 1.0)).toDF("poi_id", "lon", "lat")
+    val out = SpatialJoin.knnJoin(noPts, pois, k = 1)
+    assert(out.columns.toSeq === Seq("pt_id", "poi_id", "dist_m", "rank"))
+    assert(out.count() === 0)
+  }
+
   test("J2 super-relation (relation-of-relations) resolves to depth 2 with all rings") {
     // every super_zone relation must assemble: its own outer ring + the
     // referenced zone relation's outer AND inner rings = 3 rings, 2 outer
