@@ -44,14 +44,34 @@ object ScalingRunner {
   def main(args: Array[String]): Unit = {
     val Array(coresS, imgPath, pbfPath, worldNodesS) = args.take(4)
     val cores = coresS.toInt
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    // optional 5th arg: master override — `local-cluster[n,c,mem]` runs the
+    // SAME measurement with real separate executor JVMs (worker-spawned,
+    // netty shuffle, executor-side class loading), the closest one box gets
+    // to genuinely distinct cluster sizes; executors then need this JVM's
+    // classpath and their own bounded heap
+    val master = if (args.length > 4) args(4) else s"local[$cores]"
+    val builder = SparkSession.builder()
+      .master(master)
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.files.maxPartitionBytes", 16L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // same honesty flags the local[N] children get: each executor JVM
+      // must size GC/JIT pools for ITS core budget, not the host's 32
+      // (8 one-core executors bursting 23 GC threads each oversubscribes
+      // the box and penalizes exactly the high level), and pre-touch its
+      // heap so page-zeroing lands at startup, not mid-measurement
+      val perExecCores = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(1).trim
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.memory", sys.env.getOrElse("GRAFT_EXEC_MEM", "3g"))
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:ActiveProcessorCount=$perExecCores -XX:+AlwaysPreTouch")
+    }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val (_, world) = OsmWorld.cachedPbf(
       sys.props("java.io.tmpdir") + "/graft-fixtures", 42L, 8, worldNodesS.toInt)
@@ -109,17 +129,35 @@ object ScalingRunner {
       s"-XX:ActiveProcessorCount=$cores")
 
   /** Parent-side: run one level in a fresh JVM, inheriting this JVM's
-    * classpath and flags except heap sizing (see childJvmArgs). */
-  def spawn(cores: Int, imgPath: String, pbfPath: String, worldNodes: Int): (Double, Long) = {
+    * classpath and flags except heap sizing (see childJvmArgs). Pass
+    * `master` to override the child's `local[cores]` (e.g. a
+    * `local-cluster[n,c,mem]` topology with real executor JVMs — the child
+    * driver heap is then kept small, the work lives in the executors). */
+  def spawn(cores: Int, imgPath: String, pbfPath: String, worldNodes: Int,
+      master: Option[String] = None): (Double, Long) = {
     import scala.jdk.CollectionConverters._
     val javaBin = sys.props("java.home") + "/bin/java"
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
-    val cmd = Seq(javaBin) ++ childJvmArgs(inherited, cores, childHeapGb()) ++ Seq(
+    val heapGb = if (master.exists(_.startsWith("local-cluster"))) 4L else childHeapGb()
+    val cmd = Seq(javaBin) ++ childJvmArgs(inherited, cores, heapGb) ++ Seq(
       "-cp", sys.props("java.class.path"),
-      "graft.ScalingRunner", cores.toString, imgPath, pbfPath, worldNodes.toString)
+      "graft.ScalingRunner", cores.toString, imgPath, pbfPath, worldNodes.toString) ++
+      master.toSeq
     def attempt(): (Double, Long) = {
       val pb = new ProcessBuilder(cmd: _*)
+      // local-cluster masters: the in-process Worker launches executor JVMs
+      // through the Spark distribution's launcher and needs SPARK_HOME
+      // ("Cannot find any build directories" otherwise)
+      if (master.exists(_.startsWith("local-cluster"))) {
+        if (!pb.environment().containsKey("SPARK_HOME"))
+          pb.environment().put("SPARK_HOME",
+            sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+        // normally exported by bin/load-spark-env.sh; the launcher's
+        // getScalaVersion falls back to source-build dirs without it
+        if (!pb.environment().containsKey("SPARK_SCALA_VERSION"))
+          pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      }
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
