@@ -52,7 +52,9 @@ object EntryFixtures {
 
   /** Image table sized by sf, cached as parquet (PNG encode is the slow
     * part; amortized across Verify/Bench runs). */
-  def images(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Materialized images fixture path (written on first use) — exposed so
+    * the streaming query can replay the same files as a file stream. */
+  def imagesPath(spark: SparkSession, sfDir: String): String = {
     val n = math.max(500, math.min(50000, (scaleOf(sfDir) * 500000).toInt))
     val (_, w) = world(sfDir)
     val path = s"$fixtureDir/images_$n"
@@ -60,8 +62,11 @@ object EntryFixtures {
       Images.synthesize(spark, n, w.clusterCenters, 8)
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    path
   }
+
+  def images(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(imagesPath(spark, sfDir))
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

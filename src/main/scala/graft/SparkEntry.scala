@@ -401,6 +401,23 @@ object SparkEntry {
       val (path, _) = world(dir)
       graft.osmpbf.source.OsmStats.nodesReferencedByWays(s, path).select("id", "lat_nd", "lon_nd")
     }),
+    "p10_stream_graft" -> ((s, dir) => {
+      // streaming graft: the images fixture replayed as a file stream
+      // (several micro-batches) × static polygons via foreachBatch
+      // incremental tile deltas; the returned rollup is the additive fold.
+      // StreamingGraftSpec proves rollup ≡ batch job + retry idempotence;
+      // rows here = tiles with ≥1 image (same population as p6)
+      val path = imagesPath(s, dir)
+      val schema = images(s, dir).schema
+      val out = java.nio.file.Files.createTempDirectory("graft-p10").toString
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(path)
+      val q = graft.streaming.StreamingGraft.run(
+        stream, polygons(s, dir), s"$out/delta", s"$out/ckpt", z = 10, res = 12)
+      q.awaitTermination()
+      graft.streaming.StreamingGraft.rollup(s, s"$out/delta")
+    }),
     "p7_image_parity" -> ((s, dir) => {
       val (_, w) = world(dir)
       ImageTable.parity(images(s, dir).limit(500), w.clusterCenters)

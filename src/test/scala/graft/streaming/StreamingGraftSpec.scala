@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.fixtures.OsmWorld
+import graft.osmpbf.source.OsmPbf
+import graft.pipeline.GraftJob
+import graft.spatial.geom.Assembly
+import graft.tiles.Images
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingGraftSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val (pbfPath, world) = OsmWorld.cachedPbf(tmpDir, seed = 42, nClusters = 4, nodesPerCluster = 100)
+  private lazy val polys = {
+    val nodes = OsmPbf.nodes(spark, pbfPath).toDF()
+    val ways = OsmPbf.ways(spark, pbfPath).toDF()
+    val rels = OsmPbf.relations(spark, pbfPath).toDF()
+    Assembly.polygons(nodes, ways, rels).localCheckpoint()
+  }
+
+  test("streamed batches fold to the batch graft job's tile stats; retries are idempotent") {
+    val all = Images.synthesize(spark, 400, world.clusterCenters, 4).cache()
+    def slice(lo: Long, hi: Long) = all.where(
+      col("image_id") >= Images.idString(lo) && col("image_id") < Images.idString(hi))
+    // two source files → two micro-batches (maxFilesPerTrigger = 1)
+    val srcDir = s"$tmpDir/sgraft-src"
+    slice(0, 250).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f1")
+    slice(250, 400).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f2")
+    val schema = all.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+    val deltaDir = s"$tmpDir/sgraft-delta"
+    val q = StreamingGraft.run(stream, polys, deltaDir, s"$tmpDir/sgraft-ckpt", z = 10, res = 12)
+    q.awaitTermination()
+    // at least two batch partitions landed
+    val batches = spark.read.parquet(deltaDir).select("batch_id").distinct().count()
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("tile") -> ((r.getAs[Long]("n_images"), r.getAs[Long]("n_hits"))))
+      .toMap
+    val streamed = asMap(StreamingGraft.rollup(spark, deltaDir))
+    val batch = asMap(GraftJob.run(all, polys, z = 10, res = 12)
+      .select(col("tile"), col("tile_z"), col("tile_x"), col("tile_y"),
+        col("n_images"), col("n_hits")))
+    assert(streamed === batch, "additive fold of streamed deltas != batch recompute")
+    // retry semantics: re-running a batch with the SAME id replaces its
+    // partition — totals unchanged (the at-least-once foreachBatch contract)
+    StreamingGraft.writeBatchDelta(slice(0, 250), polys, deltaDir, batchId = 0L, z = 10, res = 12)
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === batch,
+      "retried micro-batch double-counted its delta")
+  }
+}
