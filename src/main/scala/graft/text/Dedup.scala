@@ -318,23 +318,30 @@ object Dedup {
   /** Exact word-n-gram Jaccard similarity for candidate pairs (the
     * verification stage after any LSH screen). Takes a pair DataFrame
     * (a_id, b_id) plus the docs table; joins text in twice, computes exact
-    * Jaccard over word n-gram sets in a single UDF. */
+    * Jaccard over word n-gram SETS in pure higher-order-function
+    * expressions (whole-stage codegen, no UDF). N-grams are space-joined
+    * word windows — injective, since words contain no whitespace — with
+    * the `sliding` edge semantics of Scala collections: an empty word list
+    * has no grams, a list shorter than `n` is its own single gram. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val jac = udf((a: String, b: String) => {
-      def grams(s: String): Set[Seq[String]] =
-        s.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(n).map(_.toSeq).toSet
-      val ga = grams(a)
-      val gb = grams(b)
-      val inter = ga.intersect(gb).size.toDouble
-      val union = ga.union(gb).size.toDouble
-      if (union == 0) 1.0 else inter / union
-    })
+    def grams(c: Column): Column = {
+      val w = filter(split(lower(c), "\\s+"), x => length(x) > 0)
+      when(size(w) === 0, array().cast("array<string>"))
+        .when(size(w) < n, array(array_join(w, " ")))
+        .otherwise(array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " "))))
+    }
     val d = docs.select(col(idCol), col(textCol))
     pairs
       .join(d.withColumnRenamed(idCol, "a_id").withColumnRenamed(textCol, "_ta"), "a_id")
       .join(d.withColumnRenamed(idCol, "b_id").withColumnRenamed(textCol, "_tb"), "b_id")
-      .withColumn("jaccard", jac(col("_ta"), col("_tb")))
-      .drop("_ta", "_tb")
+      .withColumn("_ga", grams(col("_ta")))
+      .withColumn("_gb", grams(col("_tb")))
+      .withColumn("jaccard",
+        when(size(array_union(col("_ga"), col("_gb"))) === 0, lit(1.0))
+          .otherwise(size(array_intersect(col("_ga"), col("_gb"))).cast("double") /
+            size(array_union(col("_ga"), col("_gb")))))
+      .drop("_ta", "_tb", "_ga", "_gb")
   }
 }
