@@ -38,7 +38,16 @@ object PbfCodec {
       var off = 0
       while (off < rawSize && !inf.finished()) {
         val n = inf.inflate(out, off, rawSize - off)
-        if (n == 0 && inf.needsInput()) throw new PbfParseException("truncated zlib stream")
+        if (n == 0 && !inf.finished()) {
+          // cover EVERY zero-progress mode: a stream demanding a preset
+          // dictionary (FDICT) reports needsDictionary, not needsInput —
+          // checking only needsInput spun this loop forever
+          if (inf.needsDictionary())
+            throw new PbfParseException("zlib stream requires a preset dictionary (unsupported)")
+          if (inf.needsInput())
+            throw new PbfParseException("truncated zlib stream")
+          throw new PbfParseException("zlib stream stalled")
+        }
         off += n
       }
       if (off != rawSize)
@@ -125,7 +134,13 @@ object PbfCodec {
         throw new PbfParseException(s"raw payload ${raw.length} exceeds 32MiB cap")
       raw
     } else if (zlibFrom >= 0) {
-      inflate(buf, zlibFrom, zlibLen, if (rawSize >= 0) rawSize else MaxMessageSize)
+      // raw_size is optional in the spec: with it, one exact-size inflate;
+      // without it, stream-drain with the shared 32 MiB cap (the old path
+      // demanded the inflated size EQUAL the 32 MiB cap — every spec-legal
+      // foreign blob omitting raw_size was unreadable)
+      if (rawSize >= 0) inflate(buf, zlibFrom, zlibLen, rawSize)
+      else drainStream("zlib", new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(buf, zlibFrom, zlibLen)), -1)
     } else if (zstdFrom >= 0) {
       unzstd(buf, zstdFrom, zstdLen, rawSize)
     } else if (lzmaFrom >= 0) {

@@ -60,7 +60,7 @@ object PbfFile {
     }
 
     override def onChangeSet(id: Long, tagK: Array[String], tagV: Array[String]): Unit =
-      changesets += OsmChangeSet(id, Map.empty, blobOffset)
+      changesets += OsmChangeSet(id, mkTags(tagK, tagV), blobOffset)
   }
 
   /** Full decode; bad blobs are counted and skipped, not fatal

@@ -169,6 +169,12 @@ class OsmPbfScanBuilder(options: CaseInsensitiveStringMap)
       case f @ GreaterThanOrEqual("id", v: Long) => idMin = math.max(idMin, v); accepted += f
       case f @ LessThan("id", v: Long) => idMax = math.min(idMax, v - 1); accepted += f
       case f @ LessThanOrEqual("id", v: Long) => idMax = math.min(idMax, v); accepted += f
+      // point lookups — the most common shape — prune by the same zone map
+      case f @ EqualTo("id", v: Long) =>
+        idMin = math.max(idMin, v); idMax = math.min(idMax, v); accepted += f
+      case f @ In("id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        idMin = math.max(idMin, ls.min); idMax = math.min(idMax, ls.max); accepted += f
       case _ => ()
     }
     pushed = accepted.toArray
@@ -597,7 +603,12 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
             if (posFile >= 0) UTF8String.fromString(ptr.path) else null),
           kindsMask, wantTags, wantInfo)
       } catch {
-        case e: Exception if permissive => decodeErrors += 1
+        case e: Exception if permissive =>
+          // the handler may have appended rows before the failure —
+          // skip-and-count means the WHOLE blob is skipped, never a
+          // partial (possibly garbage-decoded) prefix emitted as data
+          rows.clear()
+          decodeErrors += 1
         case e: Exception =>
           throw new java.io.IOException(
             s"osmpbf: failed to decode blob at ${ptr.path} offset ${ptr.headerOffset} " +

@@ -40,12 +40,14 @@ object Assembly {
   }
 
   private def bboxOf(ringsCol: Column): Column = {
+    // built from the PARAMETER (the old expr() strings hardcoded the
+    // column name "rings", silently ignoring ringsCol)
     val flat = flatten(ringsCol)
     struct(
-      expr("aggregate(flatten(rings), cast(180.0 as double), (a, p) -> least(a, p.lon))").as("min_lon"),
-      expr("aggregate(flatten(rings), cast(90.0 as double), (a, p) -> least(a, p.lat))").as("min_lat"),
-      expr("aggregate(flatten(rings), cast(-180.0 as double), (a, p) -> greatest(a, p.lon))").as("max_lon"),
-      expr("aggregate(flatten(rings), cast(-90.0 as double), (a, p) -> greatest(a, p.lat))").as("max_lat"))
+      aggregate(flat, lit(180.0), (a, p) => least(a, p.getField("lon"))).as("min_lon"),
+      aggregate(flat, lit(90.0), (a, p) => least(a, p.getField("lat"))).as("min_lat"),
+      aggregate(flat, lit(-180.0), (a, p) => greatest(a, p.getField("lon"))).as("max_lon"),
+      aggregate(flat, lit(-90.0), (a, p) => greatest(a, p.getField("lat"))).as("max_lat"))
   }
 
   /** Closed, polygon-tagged ways → single-ring polygons

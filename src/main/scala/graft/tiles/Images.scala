@@ -251,7 +251,11 @@ object Images {
   /** Deterministic geo-position for image `idx`: biased to cluster centers
     * (80% clustered with jitter, 20% uniform background). */
   def position(idx: Long, centers: Seq[(Double, Double)]): (Double, Double) = {
-    val h = idx * 2654435761L % 1000003L
+    // mask the sign bit BEFORE the mod: idx * K wraps negative past
+    // idx ≈ 3.47e9 (this generator claims 10^12 scale), and a negative h
+    // indexes centers out of bounds; positive products are unchanged, so
+    // every existing fixture keeps its coordinates
+    val h = ((idx * 2654435761L) & Long.MaxValue) % 1000003L
     if (h % 5 < 4 && centers.nonEmpty) {
       val c = centers(((h / 5) % centers.size).toInt)
       val jLon = ((h % 997).toDouble / 997.0 - 0.5) * 0.3

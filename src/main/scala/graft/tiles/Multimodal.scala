@@ -136,11 +136,13 @@ object Multimodal {
         val sampled = (0 until frames by everyK).map { f =>
           // ??? real frame decode here; stub = rolling hash over a byte slice
           var h = 1469598103934665603L ^ f
-          var i = 0
-          while (i < 64) {
-            h ^= bytes((f * 64 + i) % bytes.length) & 0xffL
-            h *= 1099511628211L
-            i += 1
+          if (bytes.nonEmpty) { // zero-length payload → seed hash, not ÷0
+            var i = 0
+            while (i < 64) {
+              h ^= bytes((f * 64 + i) % bytes.length) & 0xffL
+              h *= 1099511628211L
+              i += 1
+            }
           }
           (f, h)
         }

@@ -139,6 +139,10 @@ object Png {
       var done = false
       while (!done && pos + 8 <= bytes.length) {
         val len = readInt(bytes, pos)
+        // negative/overflowing chunk length would stall or wrap the walk
+        // (same guard as the Avi/Wav container walks) — fail, don't hang
+        require(len >= 0 && pos + 8L + len + 4L <= bytes.length,
+          s"corrupt PNG chunk length $len at offset $pos")
         val typ = readInt(bytes, pos + 4)
         val dataOff = pos + 8
         typ match {
@@ -182,6 +186,8 @@ object Png {
         var d2 = false
         while (!d2 && p + 8 <= bytes.length) {
           val len = readInt(bytes, p)
+          require(len >= 0 && p + 8L + len + 4L <= bytes.length,
+            s"corrupt PNG chunk length $len at offset $p")
           val typ = readInt(bytes, p + 4)
           if (typ == IDAT) { System.arraycopy(bytes, p + 8, idatBuf, o, len); o += len }
           else if (typ == IEND) d2 = true
@@ -192,7 +198,14 @@ object Png {
       var off = 0
       while (off < rawLen && !inflater.finished()) {
         val n = inflater.inflate(raw, off, rawLen - off)
-        if (n == 0 && inflater.needsInput()) throw new IllegalArgumentException("truncated IDAT")
+        if (n == 0 && !inflater.finished()) {
+          // cover every zero-progress mode (preset-dictionary streams
+          // report needsDictionary, not needsInput — the old check spun)
+          if (inflater.needsDictionary())
+            throw new IllegalArgumentException("IDAT requires a preset dictionary (unsupported)")
+          if (inflater.needsInput()) throw new IllegalArgumentException("truncated IDAT")
+          throw new IllegalArgumentException("IDAT stream stalled")
+        }
         off += n
       }
       require(off == rawLen, s"IDAT inflated $off of $rawLen bytes")

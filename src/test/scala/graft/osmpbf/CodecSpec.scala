@@ -318,4 +318,41 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     assert(info.user === "alice")
     assert(info.visible)
   }
+
+  test("zlib blob without raw_size decodes (spec-optional field); stalls name themselves") {
+    val payload = Array.tabulate[Byte](20000)(i => (i % 13).toByte)
+    val z = PbfCodec.deflate(payload)
+    // no field 2 (raw_size): stream-drain path — the old code demanded the
+    // inflated size equal the 32 MiB cap and rejected every such blob
+    val w = new ProtoWriter
+    w.bytes(3, z)
+    val b = w.toBytes
+    assert(PbfCodec.decodeBlobPayload(b, 0, b.length).toSeq === payload.toSeq)
+    // with raw_size still exact-size decoded
+    val w2 = new ProtoWriter
+    w2.varint(2, payload.length.toLong)
+    w2.bytes(3, z)
+    val b2 = w2.toBytes
+    assert(PbfCodec.decodeBlobPayload(b2, 0, b2.length).toSeq === payload.toSeq)
+    // FDICT (preset dictionary) streams fail fast, never spin: zlib header
+    // 0x78 0xBF has the FDICT bit set (CMF=0x78, FLG with FDICT=1, check ok)
+    val dict = Array[Byte](0x78.toByte, 0xbb.toByte, 1, 2, 3, 4, 5, 6, 7, 8)
+    val w3 = new ProtoWriter
+    w3.varint(2, 100L)
+    w3.bytes(3, dict)
+    val b3 = w3.toBytes
+    val e = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b3, 0, b3.length))
+    assert(e.getMessage.contains("zlib"))
+  }
+
+  test("changeset tags survive the local PbfFile reader (Collector parity with Spark rows)") {
+    val path = java.nio.file.Files.createTempDirectory("cs").toString + "/cs.osm.pbf"
+    val w = graft.osmpbf.codec.PbfWriter(path)
+    w.writeHeader(graft.osmpbf.model.HeaderMeta(Seq("OsmSchema-V0.6"), Nil, "t", "t",
+      None, None, None, None))
+    w.addChangeSet(graft.osmpbf.model.OsmChangeSet(7L, Map("created_by" -> "graft"), 0L))
+    w.close()
+    val decoded = PbfFile.read(path)
+    assert(decoded.changesets.map(c => c.id -> c.tags) === Seq(7L -> Map("created_by" -> "graft")))
+  }
 }

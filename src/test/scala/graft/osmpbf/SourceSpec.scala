@@ -121,6 +121,19 @@ class SourceSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("id point lookups (= and IN) prune via the zone map and stay exact") {
+    val someId = world.nodes(world.nodes.size / 2).id
+    val eq = OsmPbf.raw(spark, path).where(col("id") === someId && col("kind") === "node")
+    assert(eq.count() === 1L)
+    // the pushdown narrowed the id range: the scan description carries it
+    val desc = eq.queryExecution.executedPlan.toString
+    assert(desc.contains(s"idRange=[$someId,$someId]"), desc.take(800))
+    val ids = Seq(world.nodes.head.id, someId, world.nodes.last.id)
+    val in = OsmPbf.raw(spark, path)
+      .where(col("id").isin(ids: _*) && col("kind") === "node")
+    assert(in.count() === ids.distinct.size.toLong)
+  }
+
   test("foreign file without embedded stats: sidecar pass restores pruning and row stats") {
     import graft.osmpbf.codec.{FrameScanner, PbfWriter}
     // a "foreign" pbf: same world, but written with withStats=false — the

@@ -241,4 +241,22 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
       .agg(max("hdist")).collect().head.getInt(0)
     assert(selfDist === 0)
   }
+
+  test("position() stays in bounds at planet-scale ids (no Long overflow)") {
+    // idx * K wraps negative past ~3.47e9 — previously a negative index
+    // into centers
+    Seq(3_500_000_000L, 999_999_999_999L, Long.MaxValue / 2).foreach { idx =>
+      val (lon, lat) = Images.position(idx, centers)
+      assert(lon >= -180.5 && lon <= 180.5 && lat >= -80.5 && lat <= 80.5,
+        s"idx=$idx -> ($lon, $lat)")
+    }
+  }
+
+  test("corrupt PNG chunk length fails fast instead of hanging the decoder") {
+    val good = Images.synthRow(3L, centers).bytes
+    val bad = good.clone()
+    // overwrite the first chunk's length (offset 8..11) with a negative int
+    bad(8) = 0xff.toByte; bad(9) = 0xff.toByte; bad(10) = 0xff.toByte; bad(11) = 0xf4.toByte
+    intercept[IllegalArgumentException] { Images.decode(bad) }
+  }
 }

@@ -43,4 +43,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getSeq[Int](1) === Seq(0, 10, 20, 30, 40))
     assert(row.getSeq[Long](2).distinct.size === 5)
   }
+
+  test("video stub tolerates empty payloads (no div-by-zero)") {
+    import spark.implicits._
+    val media = Seq(("empty", Array.empty[Byte])).toDF("media_id", "bytes")
+    val out = Multimodal.videoFrameSample(media, everyK = 10, frames = 30).collect()
+    assert(out.length === 1 && !out.head.getAs[Boolean]("real_decode"))
+  }
 }
