@@ -92,18 +92,37 @@ object Bench {
     probeSink = x
     (System.nanoTime() - t0) / 1e9
   }
-  private var probeBest = Double.MaxValue
+  // The baseline persists across runs (min ever observed on this machine):
+  // a SELF-baselined probe is blind to a storm the whole run starts inside
+  // — its first probe defines "quiet". The cache only ratchets DOWN, so a
+  // stale-fast floor can at worst delay rounds by maxWaitS, never admit a
+  // contended one as quiet.
+  private val probeCachePath =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-fixtures", "probe_best.txt")
+  private var probeBest: Double = {
+    try math.min(Double.MaxValue,
+      new String(java.nio.file.Files.readAllBytes(probeCachePath)).trim.toDouble)
+    catch { case _: Exception => Double.MaxValue }
+  }
+  private def recordProbe(p: Double): Unit =
+    if (p < probeBest) {
+      probeBest = p
+      try {
+        java.nio.file.Files.createDirectories(probeCachePath.getParent)
+        java.nio.file.Files.write(probeCachePath, probeBest.toString.getBytes)
+      } catch { case _: Exception => () }
+    }
   /** Returns (probe/best ratio at release, seconds waited). */
   private def waitForQuietHost(maxWaitS: Int): (Double, Int) = {
     var waited = 0
     var p = probeOnce()
-    probeBest = math.min(probeBest, p)
+    recordProbe(p)
     while (p > probeBest * 1.12 && waited < maxWaitS) {
       System.err.println(f"[bench] probe ${p}%.2fs vs best ${probeBest}%.2fs — waiting for quiet host")
       Thread.sleep(15000)
       waited += 15
       p = probeOnce()
-      probeBest = math.min(probeBest, p)
+      recordProbe(p)
     }
     (p / probeBest, waited)
   }
@@ -188,14 +207,18 @@ object Bench {
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    // GATE + HEADLINE = median of matched rounds (round-3 verdict: the
-    // max-of-rounds headline under a sample-until-pass stopping rule is
-    // upward-biased — the recorded r3 artifact passed only via max
-    // selection). The capped best round is still reported separately
-    // (`efficiency_best`, ≤ 1.05: a super-linear round proves its LOW level
-    // was contention-inflated) for continuity, but nothing gates on it.
-    def medianEff(rs: Seq[((Double, Long), (Double, Long))]): Double =
-      median(rs.map(roundEff))
+    // GATE + HEADLINE = median of the PLAUSIBLE matched rounds (round-3
+    // verdict: max-of-rounds under a sample-until-pass stopping rule is
+    // upward-biased). Plausible = efficiency ≤ 1.05 — a super-linear round
+    // proves its LOW level was contention-inflated, and leaving it in the
+    // median would let one contaminated round both inflate the headline
+    // AND suppress the rescue round a clean protocol would run. If every
+    // round is implausible, the gate falls back to the MINIMUM (the least
+    // flattered figure). Every round is still published either way.
+    def medianEff(rs: Seq[((Double, Long), (Double, Long))]): Double = {
+      val plausible = rs.map(roundEff).filter(_ <= 1.05)
+      if (plausible.nonEmpty) median(plausible) else rs.map(roundEff).min
+    }
     // Two matched rounds always; while the MEDIAN misses the 0.8 gate, up
     // to GRAFT_BENCH_MAX_ROUNDS-2 rescue rounds run (observed on this host:
     // contention windows last minutes and can swallow BOTH rounds of one
@@ -248,7 +271,7 @@ object Bench {
       s"""{"cores_low":$coresLow,"cores_high":$coresHigh,""" +
         s""""rows":$rowsHigh,"sec_low":$secLow,"sec_high":$secHigh,""" +
         s""""rows_per_s_low":$thrLow,"rows_per_s_high":$thrHigh,""" +
-        s""""efficiency":$efficiency,"efficiency_stat":"median_of_matched_rounds",""" +
+        s""""efficiency":$efficiency,"efficiency_stat":"median_of_plausible_matched_rounds",""" +
         s""""efficiency_best":$effBest,"headline_round":$headlineRound,"rounds":$roundsJson,""" +
         s""""cores_max":$cpus,"sec_max":$secMax,"rows_per_s_max":$thrMax}"""
     val json =

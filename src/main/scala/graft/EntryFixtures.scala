@@ -50,10 +50,10 @@ object EntryFixtures {
     Assembly.polygons(nodes, ways, relations)
   }
 
-  /** Image table sized by sf, cached as parquet (PNG encode is the slow
-    * part; amortized across Verify/Bench runs). */
-  /** Materialized images fixture path (written on first use) — exposed so
-    * the streaming query can replay the same files as a file stream. */
+  /** Materialized images-fixture path, sized by sf and written on first
+    * use (PNG encode is the slow part; amortized across Verify/Bench
+    * runs). Exposed so the streaming query can replay the same files as a
+    * file stream; [[images]] is the batch view over it. */
   def imagesPath(spark: SparkSession, sfDir: String): String = {
     val n = math.max(500, math.min(50000, (scaleOf(sfDir) * 500000).toInt))
     val (_, w) = world(sfDir)

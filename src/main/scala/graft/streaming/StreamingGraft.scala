@@ -53,9 +53,20 @@ object StreamingGraft {
       .partitionBy("batch_id")
       .parquet(deltaDir)
 
-  /** Current tile stats = additive fold of all batch deltas. */
-  def rollup(spark: SparkSession, deltaDir: String): DataFrame =
-    spark.read.parquet(deltaDir)
-      .groupBy("tile", "tile_z", "tile_x", "tile_y")
-      .agg(sum("n_images").as("n_images"), sum("n_hits").as("n_hits"))
+  /** Current tile stats = additive fold of all batch deltas. An empty
+    * source (no micro-batch ever fired, so no delta dir exists) is empty
+    * stats, not a missing-path error. */
+  def rollup(spark: SparkSession, deltaDir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (!graft.util.HadoopIO.exists(deltaDir, conf)) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("tile", LongType), StructField("tile_z", IntegerType),
+          StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
+          StructField("n_images", LongType), StructField("n_hits", LongType))))
+    } else
+      spark.read.parquet(deltaDir)
+        .groupBy("tile", "tile_z", "tile_x", "tile_y")
+        .agg(sum("n_images").as("n_images"), sum("n_hits").as("n_hits"))
+  }
 }

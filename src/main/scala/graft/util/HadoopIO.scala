@@ -115,8 +115,16 @@ object HadoopIO {
           case abs => abs
         })
         Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.createFile(nio) // O_EXCL — the atomic win/lose
-        java.nio.file.Files.write(nio, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // CREATE_NEW: O_EXCL create and content write through ONE channel on
+        // the created inode — a separate Files.write would resolve by PATH,
+        // so a holder stalled between create and write could overwrite a
+        // waiter's freshly acquired lock file after a stale-break
+        val ch = java.nio.file.Files.newByteChannel(nio,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        try ch.write(java.nio.ByteBuffer.wrap(
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        finally ch.close()
       } else {
         val out = fs.create(p, false)
         try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -126,8 +134,14 @@ object HadoopIO {
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.toLowerCase.contains("already exists") => false
+      // HDFS signals a concurrent-create race on a still-open file with
+      // AlreadyBeingCreatedException ("already being created") — also a
+      // lost race, not an error (matched by message: the hdfs-client class
+      // isn't a compile-time dependency here)
+      case e: java.io.IOException if e.getMessage != null && {
+        val m = e.getMessage.toLowerCase
+        m.contains("already exists") || m.contains("already being created")
+      } => false
     }
   }
 
