@@ -2,6 +2,8 @@ package graft.streaming
 
 import graft.pipeline.GraftJob
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -18,7 +20,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the NEW images only and appends that batch's per-tile DELTAS; the
   * additive rollup (sum of deltas ≡ full recompute, proven in
   * PipelineSpec's incremental-maintenance test) folds them on read, or
-  * periodically into a compacted snapshot.
+  * periodically into a compacted snapshot via [[compact]] so per-rollup
+  * cost stays O(tiles + batches-since-last-compact), not O(all batches).
   *
   * Exactly-once: deltas land in a `batch_id=<id>` partition written with
   * dynamic partition overwrite, so a retried micro-batch REPLACES its own
@@ -53,20 +56,112 @@ object StreamingGraft {
       .partitionBy("batch_id")
       .parquet(deltaDir)
 
-  /** Current tile stats = additive fold of all batch deltas. An empty
-    * source (no micro-batch ever fired, so no delta dir exists) is empty
-    * stats, not a missing-path error. */
+  /** Current tile stats = latest compacted snapshot (if any) + additive
+    * fold of the delta partitions NEWER than it. An empty source (no
+    * micro-batch ever fired, so no delta dir exists) is empty stats, not a
+    * missing-path error.
+    *
+    * The snapshot watermark also closes the one retry hole compaction
+    * opens: a micro-batch whose delta was already folded (its checkpoint
+    * commit lost, so foreachBatch replays it) rewrites `batch_id=N` with
+    * N <= watermark — and rollup ignores it, so the replay cannot
+    * double-count against the snapshot that already contains it. */
   def rollup(spark: SparkSession, deltaDir: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    if (!graft.util.HadoopIO.exists(deltaDir, conf)) {
+    val w = latestSnapshotVersion(deltaDir, conf)
+    val tail = deltaBatchIds(deltaDir, conf).filter(_ > w)
+    val parts = Seq(
+      if (w >= 0) Some(spark.read.parquet(snapshotPath(deltaDir, w))) else None,
+      if (tail.nonEmpty)
+        Some(spark.read.option("basePath", deltaDir)
+          .parquet(tail.map(id => s"$deltaDir/batch_id=$id"): _*)
+          .drop("batch_id"))
+      else None
+    ).flatten
+    if (parts.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("tile", LongType), StructField("tile_z", IntegerType),
           StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
           StructField("n_images", LongType), StructField("n_hits", LongType))))
     } else
-      spark.read.parquet(deltaDir)
+      parts.reduce(_ unionByName _)
         .groupBy("tile", "tile_z", "tile_x", "tile_y")
         .agg(sum("n_images").as("n_images"), sum("n_hits").as("n_hits"))
+  }
+
+  /** Fold every delta partition written so far (plus the previous
+    * snapshot) into a new compacted snapshot, then garbage-collect the
+    * folded partitions and superseded snapshot versions. Without this,
+    * `rollup` cost and small-file count grow linearly with micro-batch
+    * count — after 10^4 micro-batches each rollup re-lists and re-reads
+    * 10^4 tiny partitions.
+    *
+    * Crash-safe by write-then-GC ordering: the new snapshot lands under
+    * `_snapshot/v=<maxFoldedBatchId>/` (picked up only once its parquet
+    * `_SUCCESS` marker exists), so a crash between snapshot write and GC
+    * leaves stale delta partitions that rollup already ignores (their
+    * batch_id <= the new watermark) — pure garbage, re-collected by the
+    * next compact. The `_`-prefixed dir keeps the snapshot invisible to
+    * any direct parquet read of the delta dir.
+    *
+    * GC deletes files a concurrently *planned* rollup may still reference;
+    * like any file-based table without a catalog, run compaction from the
+    * maintenance path (e.g. between micro-batches in the foreachBatch
+    * driver thread) or enable `spark.sql.files.ignoreMissingFiles` for
+    * ad-hoc readers.
+    *
+    * Returns the new watermark (max folded batch id), or the previous one
+    * if there was nothing new to fold. */
+  def compact(spark: SparkSession, deltaDir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val oldW = latestSnapshotVersion(deltaDir, conf)
+    val tail = deltaBatchIds(deltaDir, conf).filter(_ > oldW)
+    if (tail.isEmpty) return oldW
+    val newW = tail.max
+    // rollup() as of now == old snapshot + tail, exactly what we persist
+    rollup(spark, deltaDir)
+      .write.mode("overwrite").parquet(snapshotPath(deltaDir, newW))
+    val fs = new Path(deltaDir).getFileSystem(conf)
+    // GC everything at-or-below the new watermark — including stale
+    // partitions a replayed pre-compaction batch rewrote below the OLD
+    // watermark (already in the snapshot, ignored by rollup, pure garbage)
+    deltaBatchIds(deltaDir, conf).filter(_ <= newW)
+      .foreach(id => fs.delete(new Path(s"$deltaDir/batch_id=$id"), true))
+    snapshotVersions(deltaDir, conf).filter(_ < newW)
+      .foreach(v => fs.delete(new Path(snapshotPath(deltaDir, v)), true))
+    newW
+  }
+
+  private def snapshotPath(deltaDir: String, v: Long): String =
+    s"$deltaDir/_snapshot/v=$v"
+
+  /** Delta partition ids present on disk (`batch_id=N` dirs). */
+  private def deltaBatchIds(deltaDir: String, conf: Configuration): Seq[Long] =
+    listChildIds(deltaDir, "batch_id=", conf, requireSuccess = false)
+
+  /** Committed snapshot versions (dirs with a parquet `_SUCCESS` marker —
+    * a half-written snapshot from a crashed compact is never selected). */
+  private def snapshotVersions(deltaDir: String, conf: Configuration): Seq[Long] =
+    listChildIds(s"$deltaDir/_snapshot", "v=", conf, requireSuccess = true)
+
+  private def latestSnapshotVersion(deltaDir: String, conf: Configuration): Long = {
+    val vs = snapshotVersions(deltaDir, conf)
+    if (vs.isEmpty) -1L else vs.max
+  }
+
+  private def listChildIds(dir: String, prefix: String, conf: Configuration,
+      requireSuccess: Boolean): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith(prefix)) None
+        else scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+          .filter(_ => !requireSuccess || fs.exists(new Path(st.getPath, "_SUCCESS")))
+      }
   }
 }

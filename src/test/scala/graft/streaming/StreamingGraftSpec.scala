@@ -52,4 +52,62 @@ class StreamingGraftSpec extends AnyFunSuite with SparkTestBase {
     assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === batch,
       "retried micro-batch double-counted its delta")
   }
+
+  test("compact folds deltas into a snapshot; rollup, retries and GC stay correct") {
+    val all = Images.synthesize(spark, 300, world.clusterCenters, 4).cache()
+    def slice(lo: Long, hi: Long) = all.where(
+      col("image_id") >= Images.idString(lo) && col("image_id") < Images.idString(hi))
+    val deltaDir = s"$tmpDir/sgraft-compact-delta"
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("tile") -> ((r.getAs[Long]("n_images"), r.getAs[Long]("n_hits"))))
+      .toMap
+    def deltaPartitions(): Seq[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+      val p = new org.apache.hadoop.fs.Path(deltaDir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.startsWith("batch_id="))
+    }
+
+    // nothing to fold: no-op, no snapshot dir conjured
+    assert(StreamingGraft.compact(spark, deltaDir) === -1L)
+
+    // two batches, compact mid-stream
+    StreamingGraft.writeBatchDelta(slice(0, 100), polys, deltaDir, batchId = 0L, z = 10, res = 12)
+    StreamingGraft.writeBatchDelta(slice(100, 200), polys, deltaDir, batchId = 1L, z = 10, res = 12)
+    assert(StreamingGraft.compact(spark, deltaDir) === 1L)
+    assert(deltaPartitions().isEmpty, "compact must GC folded batch partitions")
+    val firstTwo = asMap(GraftJob.run(slice(0, 200), polys, z = 10, res = 12)
+      .select(col("tile"), col("tile_z"), col("tile_x"), col("tile_y"),
+        col("n_images"), col("n_hits")))
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === firstTwo,
+      "rollup after compact != batch recompute of folded batches")
+
+    // stream continues past the snapshot: rollup = snapshot + tail
+    StreamingGraft.writeBatchDelta(slice(200, 300), polys, deltaDir, batchId = 2L, z = 10, res = 12)
+    val full = asMap(GraftJob.run(all, polys, z = 10, res = 12)
+      .select(col("tile"), col("tile_z"), col("tile_x"), col("tile_y"),
+        col("n_images"), col("n_hits")))
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full,
+      "rollup over snapshot + tail deltas != full batch recompute")
+
+    // retry of an ALREADY-FOLDED batch (checkpoint commit lost, foreachBatch
+    // replays id 1): its rewritten partition sits below the watermark and
+    // must not double-count against the snapshot that already contains it
+    StreamingGraft.writeBatchDelta(slice(100, 200), polys, deltaDir, batchId = 1L, z = 10, res = 12)
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full,
+      "replayed pre-compaction batch double-counted against the snapshot")
+
+    // second compact folds the tail + absorbs the stale replayed partition;
+    // old snapshot version is GC'd, exactly one committed version remains
+    assert(StreamingGraft.compact(spark, deltaDir) === 2L)
+    assert(deltaPartitions().isEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(s"$deltaDir/_snapshot"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).toSeq
+    assert(snaps === Seq("v=2"), s"expected only v=2 to survive GC, got $snaps")
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full)
+    // idempotent re-compact with nothing new
+    assert(StreamingGraft.compact(spark, deltaDir) === 2L)
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full)
+  }
 }
