@@ -53,6 +53,43 @@ object PbfCodec {
       if (off != rawSize)
         throw new PbfParseException(s"zlib inflated $off bytes, expected $rawSize")
       out
+    } catch {
+      // corrupt deflate bits must surface as the typed parse error every
+      // permissive/stats caller already handles, same as the unsized path
+      case e: java.util.zip.DataFormatException =>
+        throw new PbfParseException(s"zlib decode failed: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  /** Inflate with no declared raw_size: explicit Inflater loop with the
+    * same zero-progress discipline as [[inflate]]. The previous
+    * InflaterInputStream drain returned EOF (-1) when the inflater
+    * `needsDictionary` — an FDICT stream without raw_size silently yielded
+    * a truncated (even empty, which still parses as a valid empty block)
+    * payload instead of the fail-fast the sized path has. */
+  def inflateUnsized(data: Array[Byte], from: Int, len: Int): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data, from, len)
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val chunk = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && !inf.finished()) {
+          if (inf.needsDictionary())
+            throw new PbfParseException("zlib stream requires a preset dictionary (unsupported)")
+          if (inf.needsInput())
+            throw new PbfParseException("truncated zlib stream")
+          throw new PbfParseException("zlib stream stalled")
+        }
+        out.write(chunk, 0, n)
+        if (out.size() > MaxMessageSize)
+          throw new PbfParseException("zlib payload exceeds 32MiB cap")
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new PbfParseException(s"zlib decode failed: ${e.getMessage}")
     } finally inf.end()
   }
 
@@ -139,8 +176,7 @@ object PbfCodec {
       // demanded the inflated size EQUAL the 32 MiB cap — every spec-legal
       // foreign blob omitting raw_size was unreadable)
       if (rawSize >= 0) inflate(buf, zlibFrom, zlibLen, rawSize)
-      else drainStream("zlib", new java.util.zip.InflaterInputStream(
-        new java.io.ByteArrayInputStream(buf, zlibFrom, zlibLen)), -1)
+      else inflateUnsized(buf, zlibFrom, zlibLen)
     } else if (zstdFrom >= 0) {
       unzstd(buf, zstdFrom, zstdLen, rawSize)
     } else if (lzmaFrom >= 0) {

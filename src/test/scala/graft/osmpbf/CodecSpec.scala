@@ -343,6 +343,23 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     val b3 = w3.toBytes
     val e = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b3, 0, b3.length))
     assert(e.getMessage.contains("zlib"))
+    // FDICT WITHOUT raw_size: the old InflaterInputStream drain returned
+    // EOF on needsDictionary — a silently EMPTY payload (which even parses
+    // as a valid empty block). Must fail fast like the sized path.
+    val w4 = new ProtoWriter
+    w4.bytes(3, dict)
+    val b4 = w4.toBytes
+    val e4 = intercept[PbfParseException](PbfCodec.decodeBlobPayload(b4, 0, b4.length))
+    assert(e4.getMessage.contains("dictionary"), s"got: ${e4.getMessage}")
+    // corrupt deflate bits surface as the typed parse error on BOTH paths
+    // (raw DataFormatException would bypass permissive/stats callers)
+    val bad = z.clone(); bad(z.length / 2) = (bad(z.length / 2) ^ 0x5a).toByte
+    val w5 = new ProtoWriter; w5.varint(2, payload.length.toLong); w5.bytes(3, bad)
+    val b5 = w5.toBytes
+    intercept[PbfParseException](PbfCodec.decodeBlobPayload(b5, 0, b5.length))
+    val w6 = new ProtoWriter; w6.bytes(3, bad)
+    val b6 = w6.toBytes
+    intercept[PbfParseException](PbfCodec.decodeBlobPayload(b6, 0, b6.length))
   }
 
   test("changeset tags survive the local PbfFile reader (Collector parity with Spark rows)") {
