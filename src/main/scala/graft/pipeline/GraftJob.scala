@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
 object GraftJob {
 
   def run(images: DataFrame, polys: DataFrame, z: Int = 10, res: Int = 12,
-      mode: String = "salted", salt: Int = 8): DataFrame = {
+      mode: String = "salted", salt: Int = 8,
+      hotCellThreshold: Long = 100000L): DataFrame = {
     val assigned = Tiles.assignPoints(images, z)
     val hits = SpatialJoin.pipJoin(
       assigned.select("image_id", "lon", "lat", "tile", "tile_z", "tile_x", "tile_y"),
-      polys, res = res, mode = mode, salt = salt)
+      polys, res = res, mode = mode, salt = salt, hotCellThreshold = hotCellThreshold)
     val tileImages = assigned.groupBy("tile", "tile_z", "tile_x", "tile_y")
       .agg(count(lit(1)).as("n_images"))
     val tileHits = hits.groupBy("tile")
@@ -38,11 +39,12 @@ object GraftJob {
 
   /** The raw join rows (for parity checks / downstream training-data use). */
   def joinRows(images: DataFrame, polys: DataFrame, z: Int = 10, res: Int = 12,
-      mode: String = "salted", salt: Int = 8): DataFrame = {
+      mode: String = "salted", salt: Int = 8,
+      hotCellThreshold: Long = 100000L): DataFrame = {
     val assigned = Tiles.assignPoints(images, z)
     SpatialJoin.pipJoin(
       assigned.select("image_id", "lon", "lat", "tile"),
-      polys, res = res, mode = mode, salt = salt)
+      polys, res = res, mode = mode, salt = salt, hotCellThreshold = hotCellThreshold)
       .select("image_id", "tile", "src", "poly_id")
   }
 }

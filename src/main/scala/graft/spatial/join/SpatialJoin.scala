@@ -26,6 +26,13 @@ object SpatialJoin {
   private val coverUdf = udf((minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, res: Int) =>
     CellMath.coverBBox(minLon, minLat, maxLon, maxLat, res))
 
+  // stragglers (points that exhausted ring expansion and took the exact
+  // cross-join fallback) from the most recent knnJoin in this JVM; -1 =
+  // no knnJoin has run. The same number is also emitted as the
+  // "knn_stragglers" observed metric inside the executed plan.
+  private val stragglerCount = new java.util.concurrent.atomic.AtomicLong(-1L)
+  def lastKnnStragglerCount: Long = stragglerCount.get()
+
   /** Polygon side exploded to its bbox cell cover at `res`.
     * Output: (poly_id, rings, poly side payload..., cell). */
   def polygonCells(polys: DataFrame, res: Int): DataFrame =
@@ -41,9 +48,13 @@ object SpatialJoin {
     *                fewer false candidates, more polygon replication)
     * @param mode    "broadcast" | "shuffle" | "salted" | "auto" (size-based pick)
     * @param salt    replication factor for the salted path
+    * @param hotCellThreshold  salted mode replicates only cells whose point
+    *                occupancy reaches this count (≤ 0 = replicate every
+    *                cell, the pre-round-5 behavior)
     */
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int = 12,
-      mode: String = "shuffle", salt: Int = 8): DataFrame = {
+      mode: String = "shuffle", salt: Int = 8,
+      hotCellThreshold: Long = 100000L): DataFrame = {
     // polygon payload columns (src, etc.) pass through; id/tags renamed to
     // avoid colliding with point-side columns
     val polyCells = polygonCells(
@@ -73,11 +84,38 @@ object SpatialJoin {
         // polygon-cell rows replicated `salt` ways; each point probes one
         // replica. Key (cell, salt_id) splits a hot cell across `salt`
         // reducers while every matching pair still meets exactly once.
-        val replicated = polyCells.withColumn("salt_id",
-          explode(sequence(lit(0), lit(salt - 1))))
-        val saltedPts = pts.withColumn("salt_id",
-          pmod(xxhash64(col("lon"), col("lat")), lit(salt)).cast("int"))
-        saltedPts.join(replicated, Seq("cell", "salt_id")).drop("salt_id")
+        //
+        // Hot-cell-targeted (round-5): replicating the WHOLE polygon-cell
+        // side ×salt pays salt× build-side shuffle volume even for the
+        // overwhelming majority of cells that aren't hot. Instead, one
+        // map-side-combined occupancy count (shuffles only distinct cells,
+        // never the points) finds the cells at/above `hotCellThreshold`;
+        // only those replicate, and only their points spread across salt
+        // buckets. At most |points|/threshold cells can qualify, so the
+        // hot set is broadcast-bounded by construction. Exchange reuse
+        // dedups the two broadcast probes of the same count subtree.
+        if (hotCellThreshold <= 0) {
+          val replicated = polyCells.withColumn("salt_id",
+            explode(sequence(lit(0), lit(salt - 1))))
+          val saltedPts = pts.withColumn("salt_id",
+            pmod(xxhash64(col("lon"), col("lat")), lit(salt)).cast("int"))
+          saltedPts.join(replicated, Seq("cell", "salt_id")).drop("salt_id")
+        } else {
+          val hotCells = pts.groupBy("cell").agg(count(lit(1)).as("_n"))
+            .where(col("_n") >= hotCellThreshold)
+            .select(col("cell"), lit(true).as("_hot"))
+          val replicated = polyCells.join(broadcast(hotCells), Seq("cell"), "left")
+            .withColumn("salt_id",
+              explode(when(col("_hot"), sequence(lit(0), lit(salt - 1)))
+                .otherwise(array(lit(0)))))
+            .drop("_hot")
+          val saltedPts = pts.join(broadcast(hotCells), Seq("cell"), "left")
+            .withColumn("salt_id",
+              when(col("_hot"), pmod(xxhash64(col("lon"), col("lat")), lit(salt)).cast("int"))
+                .otherwise(lit(0)))
+            .drop("_hot")
+          saltedPts.join(replicated, Seq("cell", "salt_id")).drop("salt_id")
+        }
       case other => throw new IllegalArgumentException(s"unknown pipJoin mode: $other")
     }
     joined.where(exact).drop("cell", "rings")
@@ -195,10 +233,16 @@ object SpatialJoin {
         println(s"[knn] radius=$radius active=$activeCount tookMs=${(System.nanoTime() - tRound) / 1000000}")
       radius *= 2
     }
+    stragglerCount.set(activeCount) // 0 when every point retired in-ring
     if (activeCount > 0) {
       // exact fallback for stragglers (sparse regions / poles): brute-force
       // against all POIs, but only for the small unresolved remainder.
-      val rest = active.crossJoin(poiCells.drop("cell"))
+      // "Bounded" is measured, not assumed: the named observe() records the
+      // fallback's input row count in the executed plan (the Dedup guard
+      // pattern), and the driver-side count is published via
+      // [[lastKnnStragglerCount]] for suites and ops dashboards.
+      val rest = active.observe("knn_stragglers", count(lit(1)).as("n_stragglers"))
+        .crossJoin(poiCells.drop("cell"))
         .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
         .groupBy("pt_id")
         .agg(topkUdaf(col("dist_m"), col("poi_id")).as("topk"))

@@ -142,6 +142,17 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       assert(got === expected, s"mode=$mode got=${got.size} exp=${expected.size}")
     }
+    // hot-cell-targeted salting: every threshold regime — 0 (legacy: every
+    // cell replicated), 1 (every occupied cell hot), 3 (mixed: the 80%-in-
+    // 4-clusters fixture has both hot and cold cells), huge (no cell hot,
+    // pure cold path) — must produce identical rows
+    for (threshold <- Seq(0L, 1L, 3L, Long.MaxValue)) {
+      val got = SpatialJoin.pipJoin(pts, polys, res = 12, mode = "salted",
+        hotCellThreshold = threshold)
+        .select("pt_id", "src", "poly_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected, s"salted threshold=$threshold got=${got.size} exp=${expected.size}")
+    }
     assert(expected.nonEmpty, "fixture must produce at least one PIP hit")
   }
 
@@ -177,6 +188,36 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
         .map { case ((pid, _), i) => (id, pid, i + 1) }
     }.toSet
     assert(got === expected)
+  }
+
+  test("J4 kNN straggler fallback is measured (observe + accessor), result still exact") {
+    import spark.implicits._
+    val pts = mkPoints(80)
+    val pois = nodes.where(map_contains_key(col("tags"), "amenity"))
+      .select(col("id").as("poi_id"), col("lon"), col("lat")).cache()
+    val k = 3
+    // maxRadius=1 starves the ring expansion: most points cannot prove the
+    // k-th distance safe after one ring and take the exact fallback — the
+    // "bounded straggler" claim must be measured, not assumed
+    val got = SpatialJoin.knnJoin(pts, pois, k = k, res = 8, maxRadius = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val n = SpatialJoin.lastKnnStragglerCount
+    assert(n > 0 && n <= 80, s"expected a positive straggler count <= 80, got $n")
+    // fallback rows are exact: same brute-force truth as the main path
+    val poiLocal = pois.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expected = pts.collect().flatMap { r =>
+      val (id, lon, lat) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      poiLocal.map { case (pid, plon, plat) =>
+        (pid, graft.spatial.cell.CellMath.haversineMeters(lon, lat, plon, plat))
+      }.sortBy(t => (t._2, t._1)).take(k).zipWithIndex
+        .map { case ((pid, _), i) => (id, pid, i + 1) }
+    }.toSet
+    assert(got === expected)
+    // the accessor reflects the most recent call (10 points can at most
+    // leave 10 stragglers), not the 80-point run's stale fallback
+    SpatialJoin.knnJoin(pts.limit(10), pois, k = 1, res = 8, maxRadius = 16).count()
+    val n2 = SpatialJoin.lastKnnStragglerCount
+    assert(n2 >= 0 && n2 <= 10, s"accessor not refreshed by latest call: $n2")
   }
 
   test("J4 kNN frees its per-round checkpoint blocks (only the result stays persisted)") {
