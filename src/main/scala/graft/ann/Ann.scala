@@ -191,12 +191,11 @@ object Ann {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     var it = 0
     while (it < iters) {
-      val cellOf = nearestCentroidUdf(centroids)
       // element-wise mean without collecting whole vectors onto a reducer:
       // (cell, dim) partial sums combine map-side, then the k×dims means
       // re-assemble into centroid arrays — scales to any corpus size
       val means = corpus
-        .withColumn("cell", cellOf(col("c_vec")))
+        .withColumn("cell", nearestCentroidExpr(centroids, col("c_vec")))
         .select(col("cell"), posexplode(col("c_vec")).as(Seq("dim", "v")))
         .groupBy("cell", "dim").agg(avg("v").as("m"))
         .groupBy("cell")
@@ -212,37 +211,39 @@ object Ann {
     centroids
   }
 
-  private def nearestCentroidUdf(centroids: Array[(Int, Array[Float])]) =
-    udf((vec: Seq[Float]) => {
-      var best = -1
-      var bestSim = Double.MinValue
-      centroids.foreach { case (i, c) =>
-        var dot = 0.0
-        var na = 0.0
-        var nb = 0.0
-        var d = 0
-        while (d < vec.length) {
-          dot += vec(d) * c(d); na += vec(d) * vec(d); nb += c(d) * c(d); d += 1
-        }
-        val sim = dot / math.sqrt(na * nb)
-        if (sim > bestSim || (sim == bestSim && i < best)) { best = i; bestSim = sim }
-      }
-      best
-    })
+  /** The k centroids as a literal ARRAY<STRUCT<i, vec>> column — a driver-
+    * side constant folded into the plan, like any broadcast-free small dim. */
+  private def centroidsLit(centroids: Array[(Int, Array[Float])]): Column =
+    array(centroids.map { case (i, c) =>
+      struct(lit(i).as("i"), typedLit(c.toSeq).as("vec"))
+    }: _*)
 
-  private def topCentroidsUdf(centroids: Array[(Int, Array[Float])], nProbe: Int) =
-    udf((vec: Seq[Float]) => {
-      centroids.map { case (i, c) =>
-        var dot = 0.0
-        var na = 0.0
-        var nb = 0.0
-        var d = 0
-        while (d < vec.length) {
-          dot += vec(d) * c(d); na += vec(d) * vec(d); nb += c(d) * c(d); d += 1
-        }
-        (dot / math.sqrt(na * nb), i)
-      }.sortBy { case (sim, i) => (-sim, i) }.take(nProbe).map(_._2)
-    })
+  /** Per-centroid cosine similarities of `vec` as ARRAY<STRUCT<sim, i>> —
+    * the shared body of assignment and probe selection. Pure higher-order-
+    * function expressions over the literal centroid array: whole-stage
+    * codegen, no per-row UDF (these run per corpus row per Lloyd iteration
+    * and per query — the round-4 verdict's last hot-path UDFs). */
+  private def centroidSims(centroids: Array[(Int, Array[Float])], vec: Column): Column =
+    transform(centroidsLit(centroids),
+      c => struct(cosine(vec, c.getField("vec")).as("sim"), c.getField("i").as("i")))
+
+  /** argmax_i cosine(vec, centroid_i), ties to the lower index (a single
+    * `aggregate` fold — no sort of the k-array per row). */
+  private def nearestCentroidExpr(centroids: Array[(Int, Array[Float])], vec: Column): Column =
+    aggregate(centroidSims(centroids, vec),
+      struct(lit(Double.MinValue).as("sim"), lit(-1).as("i")),
+      (acc, s) => when(s.getField("sim") > acc.getField("sim") ||
+          (s.getField("sim") === acc.getField("sim") && s.getField("i") < acc.getField("i")), s)
+        .otherwise(acc))
+      .getField("i")
+
+  /** The `nProbe` centroid indices closest to `vec` (sim desc, index asc). */
+  private def topCentroidsExpr(centroids: Array[(Int, Array[Float])], nProbe: Int,
+      vec: Column): Column =
+    transform(
+      slice(array_sort(transform(centroidSims(centroids, vec),
+        s => struct((-s.getField("sim")).as("negsim"), s.getField("i").as("i")))), 1, nProbe),
+      s => s.getField("i"))
 
   /** IVF top-k: corpus bucketed by nearest centroid; each query probes its
     * `nProbe` closest cells and reranks exactly. The scale path probes a
@@ -252,10 +253,9 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val centroids = trainIvfCentroids(corpus, nCells, iters)
-    val cellOf = nearestCentroidUdf(centroids)
-    val probesOf = topCentroidsUdf(centroids, nProbe)
-    val cb = corpus.withColumn("cell", cellOf(col("c_vec")))
-    val qb = queries.withColumn("cell", explode(probesOf(col("q_vec"))))
+    val cb = corpus.withColumn("cell", nearestCentroidExpr(centroids, col("c_vec")))
+    val qb = queries.withColumn("cell",
+      explode(topCentroidsExpr(centroids, nProbe, col("q_vec"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
     qb.join(cb, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
