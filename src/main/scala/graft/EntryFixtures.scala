@@ -71,6 +71,80 @@ object EntryFixtures {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  // ------------------------------------------------------------------ truth
+  // Driver-side ground truth from the fixture generator, joined back into
+  // the p1–p4 contract queries as self-certifying `ok` columns (the e2
+  // pattern): DuckDB cannot read .osm.pbf, so the driver's check for these
+  // queries is rows-only — but every output row carrying its own verdict
+  // against the generator's in-memory World gives the parquet dump a
+  // value-level signal anyway (and EntrySelfCertSpec asserts all-ok).
+  // Truth sets are fixture-sized (≤ thousands of rows), built locally.
+
+  /** Expected element count per kind (p1). */
+  def p1Truth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, w) = world(sfDir)
+    Seq(("node", w.nodes.size.toLong), ("way", w.ways.size.toLong),
+      ("relation", w.relations.size.toLong)).toDF("kind", "expected")
+  }
+
+  /** Expected (name, nanodegree coords) of every amenity-tagged node (p2). */
+  def p2Truth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, w) = world(sfDir)
+    w.nodes.filter(_.tags.contains("amenity"))
+      .map(n => (n.id, n.tags.get("name").orNull, n.lat_nd, n.lon_nd))
+      .toDF("id", "exp_name", "exp_lat_nd", "exp_lon_nd")
+  }
+
+  /** Expected (ref count, closed flag) of every way (p3). */
+  def p3Truth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, w) = world(sfDir)
+    w.ways.map(wy => (wy.id, wy.refs.size,
+      wy.refs.size > 3 && wy.refs.head == wy.refs.last))
+      .toDF("id", "exp_n_pts", "exp_closed")
+  }
+
+  /** Expected (ring count, bbox extremes) of every assembled polygon (p4):
+    * closed polygon-tagged ways (1 ring) plus multipolygon relations whose
+    * ring count is their resolved distinct (way, role) member set — direct
+    * way members and, for super-relations, the referenced relation's way
+    * members (Assembly's depth-2 contract). Coordinates come from the same
+    * nanodegree grid the decoder reproduces exactly, so double equality
+    * against the assembled bbox is well-defined. */
+  def p4Truth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, w) = world(sfDir)
+    val coord = w.nodes.map(n => n.id -> ((n.lon, n.lat))).toMap
+    val wayById = w.ways.map(wy => wy.id -> wy).toMap
+    val relById = w.relations.map(r => r.id -> r).toMap
+    val polyKeys = Seq("building", "landuse", "natural", "leisure", "amenity")
+    val wayRows = w.ways
+      .filter(wy => wy.refs.size > 3 && wy.refs.head == wy.refs.last &&
+        polyKeys.exists(wy.tags.contains))
+      .map { wy =>
+        val pts = wy.refs.map(coord)
+        ("way", wy.id, 1, pts.map(_._1).min, pts.map(_._2).max)
+      }
+    val relRows = w.relations
+      .filter(_.tags.get("type").contains("multipolygon"))
+      .map { r =>
+        val direct = r.members
+          .filter(m => m.mtype == "way" && (m.role == "outer" || m.role == "inner"))
+          .map(m => (m.memid, m.role))
+        val viaSub = r.members.filter(_.mtype == "relation")
+          .flatMap(m => relById.get(m.memid)).flatMap(_.members
+            .filter(sm => sm.mtype == "way" && (sm.role == "outer" || sm.role == "inner"))
+            .map(sm => (sm.memid, sm.role)))
+        val memberWays = (direct ++ viaSub).distinct
+        val pts = memberWays.flatMap { case (wid, _) => wayById(wid).refs.map(coord) }
+        ("relation", r.id, memberWays.size, pts.map(_._1).min, pts.map(_._2).max)
+      }
+    (wayRows ++ relRows)
+      .toDF("src", "id", "exp_n_rings", "exp_min_lon", "exp_max_lat")
+  }
+
   /** Deterministic, SQL-reproducible point derivation from lineitem. */
   def lineitemPoints(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "lineitem")

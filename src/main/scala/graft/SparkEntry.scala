@@ -366,9 +366,17 @@ object SparkEntry {
         .select(col("media_id"), size(col("frame_idx")).as("n_frames"))
     }),
     // ------------------------------------------------- PBF / graft native
+    // p1–p4 are `no_oracle` to the driver (DuckDB cannot read .osm.pbf),
+    // so each row is made self-certifying (the e2 pattern): a left join
+    // against the fixture generator's ground truth adds the expected
+    // values and a per-row `ok` verdict. Row counts are unchanged (left
+    // join on a unique key), so the driver's rows check stays stable while
+    // the dumped parquet now carries a value-level signal.
     "p1_pbf_counts" -> ((s, dir) => {
       val (path, _) = world(dir)
       graft.osmpbf.source.OsmPbf.countElements(s, path)
+        .join(broadcast(p1Truth(s, dir)), Seq("kind"), "left")
+        .withColumn("ok", coalesce(col("count") === col("expected"), lit(false)))
     }),
     "p2_pbf_tag_filter" -> ((s, dir) => {
       val (path, _) = world(dir)
@@ -376,15 +384,29 @@ object SparkEntry {
         .where(map_contains_key(col("tags"), "amenity"))
         .select(col("id"), element_at(col("tags"), "name").as("name"),
           col("lat_nd"), col("lon_nd"))
+        .join(broadcast(p2Truth(s, dir)), Seq("id"), "left")
+        .withColumn("ok", coalesce(col("name") === col("exp_name") &&
+          col("lat_nd") === col("exp_lat_nd") &&
+          col("lon_nd") === col("exp_lon_nd"), lit(false)))
+        .drop("exp_name", "exp_lat_nd", "exp_lon_nd")
     }),
     "p3_way_assembly" -> ((s, dir) => {
       val (nodes, ways, _) = osmTables(s, dir)
       graft.spatial.geom.Assembly.wayGeometries(nodes, ways)
         .select(col("id"), size(col("pts")).as("n_pts"), col("closed"))
+        .join(broadcast(p3Truth(s, dir)), Seq("id"), "left")
+        .withColumn("ok", coalesce(col("n_pts") === col("exp_n_pts") &&
+          col("closed") === col("exp_closed"), lit(false)))
+        .drop("exp_n_pts", "exp_closed")
     }),
     "p4_polygons" -> ((s, dir) => {
       polygons(s, dir).select(col("src"), col("id"), size(col("rings")).as("n_rings"),
         col("bbox.min_lon"), col("bbox.max_lat"))
+        .join(broadcast(p4Truth(s, dir)), Seq("src", "id"), "left")
+        .withColumn("ok", coalesce(col("n_rings") === col("exp_n_rings") &&
+          col("min_lon") === col("exp_min_lon") &&
+          col("max_lat") === col("exp_max_lat"), lit(false)))
+        .drop("exp_n_rings", "exp_min_lon", "exp_max_lat")
     }),
     "p5_graft_join" -> ((s, dir) => {
       GraftJob.joinRows(images(s, dir), polygons(s, dir), z = 10, res = 12, mode = "salted")

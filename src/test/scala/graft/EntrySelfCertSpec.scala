@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The p1–p4 contract queries are `no_oracle` to the driver (DuckDB cannot
+  * read .osm.pbf); their outputs self-certify instead — every row carries
+  * an `ok` verdict computed in-query against the fixture generator's
+  * ground truth (EntryFixtures.p*Truth). This suite asserts the verdicts
+  * are all true and that the join added no rows (the driver's rows check
+  * must stay stable). p7's equivalent gate is its own parity filter. */
+class EntrySelfCertSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  for (q <- Seq("p1_pbf_counts", "p2_pbf_tag_filter", "p3_way_assembly", "p4_polygons")) {
+    test(s"$q rows are self-certifying: every ok=true, no row lost to the truth join") {
+      val df = SparkEntry.queries(q)(spark, sfDir).cache()
+      try {
+        val total = df.count()
+        assert(total > 0, s"$q returned no rows")
+        val notOk = df.where(!col("ok")).count()
+        assert(notOk === 0, s"$q: $notOk rows failed their ground-truth verdict")
+      } finally df.unpersist()
+    }
+  }
+}
