@@ -100,9 +100,16 @@ object ImageTable {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val token = java.util.UUID.randomUUID().toString
-    // 1. data write, unlocked: the expensive part at scale
+    // 1. data write, unlocked: the expensive part at scale. A heartbeated
+    // pending marker (not a time heuristic — a 100-TB data write can
+    // outlive any fixed minAge) tells vacuum the txn dir is in flight.
     val dataDir = s"$root/data/txn-$token"
-    df.write.mode("overwrite").parquet(dataDir)
+    val pending = registerPending(root, s"txn-$token", conf)
+    try {
+      df.write.mode("overwrite").parquet(dataDir)
+    } catch {
+      case e: Throwable => pending.close(); throw e
+    }
     val newEntries = dataFileEntries(dataDir, conf)
     // 2. metadata commit under the token-stamped lock
     val lock = s"$root/metadata/.append-lock"
@@ -145,6 +152,10 @@ object ImageTable {
         parentManifest ++ newEntries, conf)
       snapshotId
     } finally {
+      // committed (or failed): the manifest now references the files (or
+      // the txn dir is orphaned garbage) — either way the pending marker
+      // has served its purpose
+      pending.close()
       // release ONLY our own lock instance: if this holder stalled past
       // staleLockMs and a waiter broke the lock, it now carries the
       // waiter's token — an unconditional delete would free the waiter's
@@ -153,6 +164,55 @@ object ImageTable {
         catch { case _: Exception => null }
       if (still == token) graft.util.HadoopIO.delete(lock, conf)
     }
+  }
+
+  /** How often an in-flight append refreshes its pending marker, and how
+    * stale a marker must be before vacuum treats its owner as crashed.
+    * A live appender can never look crashed (refresh ≪ grace); a crashed
+    * appender stops refreshing and its txn dir becomes reclaimable after
+    * the grace, falling back to the normal age rule. */
+  private[tiles] val PendingHeartbeatMs = 30000L
+  private[tiles] val PendingGraceMs = 300000L
+
+  /** Register `data/<childName>` as in-flight: creates
+    * `metadata/pending/<childName>` and heartbeats its mtime from a daemon
+    * thread until closed. Vacuum skips data children with a live marker. */
+  private def registerPending(root: String, childName: String,
+      conf: org.apache.hadoop.conf.Configuration): AutoCloseable = {
+    val fs = graft.util.HadoopIO.fileSystem(root, conf)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/metadata/pending")
+    fs.mkdirs(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, childName)
+    graft.util.HadoopIO.writeString(marker.toString, "in-flight", conf)
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, s"imagetable-pending-$childName")
+      t.setDaemon(true)
+      t
+    })
+    exec.scheduleAtFixedRate(() => {
+      // setTimes is metadata-only and atomic — no partial-content window
+      try fs.setTimes(marker, System.currentTimeMillis(), -1L)
+      catch { case _: Exception => () }
+    }, PendingHeartbeatMs, PendingHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => {
+      exec.shutdownNow()
+      try fs.delete(marker, false) catch { case _: Exception => () }
+    }
+  }
+
+  /** Data-dir child names protected by a live pending marker; markers whose
+    * heartbeat stopped longer than `graceMs` ago belong to crashed appends
+    * and are garbage-collected here (their txn dirs then age out normally). */
+  private def pendingChildren(root: String, graceMs: Long,
+      conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+    val fs = graft.util.HadoopIO.fileSystem(root, conf)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/metadata/pending")
+    if (!fs.exists(dir)) return Set.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(dir).toSeq.flatMap { m =>
+      if (now - m.getModificationTime < graceMs) Some(m.getPath.getName)
+      else { try fs.delete(m.getPath, false) catch { case _: Exception => () }; None }
+    }.toSet
   }
 
   /** Expire all snapshots except the `keepLast` most recent (Iceberg
@@ -187,21 +247,25 @@ object ImageTable {
     * deleted — this reclaims (a) orphaned `txn-*` dirs from appends that
     * failed before their metadata commit and (b) data files stranded by
     * [[expireSnapshots]]. Reads go through manifests, never listings, so
-    * vacuum can run concurrently with readers of surviving snapshots; it
-    * must not run concurrently with an in-flight append (whose txn dir is
-    * not yet referenced) unless `minAgeMs` exceeds the longest plausible
-    * data-write, which is why the default keeps anything younger than 1 h.
-    * Returns the deleted paths. */
-  def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 3600000L): Seq[String] = {
+    * vacuum can run concurrently with readers of surviving snapshots — and
+    * concurrently with in-flight appends: an append registers a heartbeated
+    * pending marker before its (unlocked, possibly hours-long at 100 TB)
+    * data write, and vacuum skips any data child with a live marker, so
+    * `minAgeMs` is a belt-and-braces age floor, not the only protection.
+    * Markers whose heartbeat stopped > `pendingGraceMs` ago belong to
+    * crashed appends and are reclaimed here. Returns the deleted paths. */
+  def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 3600000L,
+      pendingGraceMs: Long = PendingGraceMs): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = graft.util.HadoopIO.fileSystem(root, conf)
     val referenced: Set[String] = listSnapshots(root, conf)
       .flatMap(id => manifest(spark, root, id)).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     if (!fs.exists(dataDir)) return Seq.empty
+    val inFlight = pendingChildren(root, pendingGraceMs, conf)
     val now = System.currentTimeMillis()
     val deleted = Seq.newBuilder[String]
-    fs.listStatus(dataDir).foreach { sub =>
+    fs.listStatus(dataDir).filterNot(s => inFlight.contains(s.getPath.getName)).foreach { sub =>
       // each child is a snapshot or txn dir of part-files
       val files = if (sub.isDirectory) fs.listStatus(sub.getPath).toSeq else Seq(sub)
       files.filter(_.isFile).foreach { f =>

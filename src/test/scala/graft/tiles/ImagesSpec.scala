@@ -141,6 +141,39 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(ImageTable.load(spark, root2).count() === 12)
   }
 
+  test("vacuum skips txn dirs with a live pending marker; stale markers age out") {
+    val root = s"$tmpDir/imageTable8"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.util.HadoopIO.fileSystem(root, conf)
+    ImageTable.write(Images.synthesize(spark, 10, centers, 2), root, snapshotId = 1L)
+    // simulate an in-flight append mid-data-write: txn dir + live marker
+    // (what registerPending creates before the unlocked parquet write)
+    graft.util.HadoopIO.writeString(
+      s"$root/data/txn-inflight/part-00000-x.parquet", "data-being-written", conf)
+    graft.util.HadoopIO.writeString(s"$root/metadata/pending/txn-inflight", "in-flight", conf)
+    // even an aggressive vacuum (no age floor) must not touch it — the 1 h
+    // minAge heuristic alone cannot protect a 100-TB append's hours-long
+    // unlocked data write
+    val deleted = ImageTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(deleted.forall(!_.contains("txn-inflight")),
+      s"vacuum deleted files of an in-flight append: $deleted")
+    assert(graft.util.HadoopIO.exists(s"$root/data/txn-inflight", conf))
+    // a crashed appender stops heartbeating: age the marker past the grace
+    // and the txn dir becomes ordinary reclaimable garbage
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/metadata/pending/txn-inflight"),
+      System.currentTimeMillis() - ImageTable.PendingGraceMs - 60000L, -1L)
+    val deleted2 = ImageTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(deleted2.exists(_.contains("txn-inflight")), "crashed append's txn dir not reclaimed")
+    assert(!graft.util.HadoopIO.exists(s"$root/metadata/pending/txn-inflight", conf),
+      "stale pending marker not garbage-collected")
+    // a successful append leaves no marker behind
+    ImageTable.append(Images.synthesize(spark, 12, centers, 2)
+      .where(col("image_id") > Images.idString(9L)), root)
+    val pendingDir = new org.apache.hadoop.fs.Path(s"$root/metadata/pending")
+    assert(!fs.exists(pendingDir) || fs.listStatus(pendingDir).isEmpty,
+      "append left its pending marker behind")
+  }
+
   test("append lock: a fresh lock blocks until timeout; a stale one is broken") {
     val root = s"$tmpDir/imageTable4"
     val conf = spark.sessionState.newHadoopConf()
