@@ -30,15 +30,19 @@ import org.apache.spark.sql.SparkSession
   * never lands mid-measurement). Matched (low, high) rounds run back to
   * back so both levels of a round share one environmental window.
   *
-  * Headline statistic (round-3 verdict + ADVICE): the **median of all
-  * matched rounds** — an unbiased location estimate; max-of-rounds (used
-  * through round 3) is upward-biased under a keep-sampling-until-pass
-  * stopping rule and overstated typical efficiency. Rescue rounds still run
-  * while the MEDIAN is below the 0.8 gate (bounded by
-  * GRAFT_BENCH_MAX_ROUNDS); every round is published in the JSON, so the
-  * selection is auditable, and the published gate value can only move
-  * TOWARD the typical round, never away from it. The capped max is also
-  * reported (`efficiency_best`) for continuity with earlier rounds.
+  * Headline statistic (round-3 verdict + ADVICE, refined round 4): the
+  * **median of the PLAUSIBLE matched rounds** — rounds with efficiency
+  * ≤ 1.05; a super-linear round proves its LOW level was contention-
+  * inflated, and leaving it in would both flatter the headline and
+  * suppress the rescue round a clean protocol would run. If every round is
+  * implausible the gate falls back to the MINIMUM (the least flattered
+  * figure). Max-of-rounds (used through round 3) is upward-biased under a
+  * keep-sampling-until-pass stopping rule. Rescue rounds still run while
+  * the median is below the 0.8 gate (bounded by GRAFT_BENCH_MAX_ROUNDS);
+  * every round is published in the JSON, so the selection is auditable,
+  * and an extra round can only move the headline TOWARD the typical round,
+  * never away from it. The capped max is also reported
+  * (`efficiency_best`) for continuity with earlier rounds.
   *
   * Contention defense: the host shows multi-minute transient contention
   * windows (same 16-core child measured 13.0 s and 19.4 s ten minutes
@@ -48,7 +52,11 @@ import org.apache.spark.sql.SparkSession
   * stride — catches both CPU steal and memory-bus contention); a round is
   * delayed (bounded by GRAFT_BENCH_PROBE_WAIT_S) until the probe comes
   * within 12% of the best probe seen this run. Probe ratio + delay are
-  * published per round.
+  * published per round. The QUERY phase gets the same defense (round-4
+  * verdict): one pre-flight probe before the loop, and any query whose
+  * first wall exceeds GRAFT_BENCH_REPEAT_S reports the median of three
+  * runs — published under "query_phase" so round-over-round comparisons
+  * know what they are looking at.
   */
 object Bench {
 
@@ -94,35 +102,67 @@ object Bench {
   }
   // The baseline persists across runs (min ever observed on this machine):
   // a SELF-baselined probe is blind to a storm the whole run starts inside
-  // — its first probe defines "quiet". The cache only ratchets DOWN, so a
-  // stale-fast floor can at worst delay rounds by maxWaitS, never admit a
-  // contended one as quiet.
+  // — its first probe defines "quiet". The cache ratchets DOWN on every
+  // faster probe, but does NOT only ratchet down (round-4 ADVICE): after a
+  // DURABLE host slowdown (governor/thermal/VM migration) a stale-fast
+  // floor would make every round pay the full probe wait forever, so
+  // (a) entries older than 48 h are discarded, and (b) a wait that times
+  // out RAISES the floor to the best probe it saw — calibration converges
+  // in both directions (the next genuinely quiet probe ratchets it back
+  // down). The file holds "<seconds> <epochMs>" and is written via
+  // temp-file + atomic rename so concurrent bench processes never
+  // interleave partial content.
   private val probeCachePath =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-fixtures", "probe_best.txt")
+  private val ProbeCacheTtlMs = 48L * 3600 * 1000
   private var probeBest: Double = {
-    try math.min(Double.MaxValue,
-      new String(java.nio.file.Files.readAllBytes(probeCachePath)).trim.toDouble)
-    catch { case _: Exception => Double.MaxValue }
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(probeCachePath))
+        .trim.split("\\s+")
+      val v = parts(0).toDouble
+      val ts = if (parts.length > 1) parts(1).toLong else 0L
+      if (v > 0 && System.currentTimeMillis() - ts <= ProbeCacheTtlMs) v
+      else Double.MaxValue
+    } catch { case _: Exception => Double.MaxValue }
   }
+  private def persistProbeBest(): Unit =
+    try {
+      java.nio.file.Files.createDirectories(probeCachePath.getParent)
+      val tmp = probeCachePath.getParent.resolve(
+        s"probe_best.${ProcessHandle.current().pid()}.tmp")
+      java.nio.file.Files.write(tmp,
+        s"$probeBest ${System.currentTimeMillis()}".getBytes)
+      java.nio.file.Files.move(tmp, probeCachePath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () }
   private def recordProbe(p: Double): Unit =
     if (p < probeBest) {
       probeBest = p
-      try {
-        java.nio.file.Files.createDirectories(probeCachePath.getParent)
-        java.nio.file.Files.write(probeCachePath, probeBest.toString.getBytes)
-      } catch { case _: Exception => () }
+      persistProbeBest()
     }
   /** Returns (probe/best ratio at release, seconds waited). */
   private def waitForQuietHost(maxWaitS: Int): (Double, Int) = {
     var waited = 0
     var p = probeOnce()
     recordProbe(p)
+    var bestSeen = p
     while (p > probeBest * 1.12 && waited < maxWaitS) {
       System.err.println(f"[bench] probe ${p}%.2fs vs best ${probeBest}%.2fs — waiting for quiet host")
       Thread.sleep(15000)
       waited += 15
       p = probeOnce()
       recordProbe(p)
+      bestSeen = math.min(bestSeen, p)
+    }
+    if (p > probeBest * 1.12) {
+      // timed out: the floor is unreachable on today's host — re-baseline
+      // to the best this wait observed so later rounds/runs stop paying
+      // the full wait against a speed the machine no longer has
+      System.err.println(f"[bench] probe wait timed out; raising floor " +
+        f"${probeBest}%.2fs -> ${bestSeen}%.2fs")
+      probeBest = bestSeen
+      persistProbeBest()
     }
     (p / probeBest, waited)
   }
@@ -150,12 +190,40 @@ object Bench {
         .write.mode("overwrite").parquet(imgPath)
 
     // ---------------- per-query timings at full parallelism ---------------
+    // Round-4 verdict item 3: single-shot query walls on this host swing
+    // 2-3x under contention (q11 "doubled" across driver runs with zero
+    // code change), so the phase is probe-gated like the scaling rounds,
+    // and queries whose first wall exceeds GRAFT_BENCH_REPEAT_S (default
+    // 3 s — the ones where regression detection matters) report the median
+    // of three runs. Every contract query is re-runnable (streaming
+    // queries use nanoTime-unique sink names / temp dirs).
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
     val scalingOnly = sys.env.contains("GRAFT_BENCH_SCALING_ONLY")
+    val probeWaitS = sys.env.getOrElse("GRAFT_BENCH_PROBE_WAIT_S", "180").toInt
+    val (queryProbeRatio, queryProbeWait) =
+      if (scalingOnly) (1.0, 0) else waitForQuietHost(probeWaitS)
+    val repeatThresholdS = sys.env.getOrElse("GRAFT_BENCH_REPEAT_S", "3.0").toDouble
+    val repeatedBuf = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = (if (scalingOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(prep, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(prep, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      val first = once()
+      val v =
+        if (first < repeatThresholdS) first // includes the -1 error case
+        else {
+          repeatedBuf += name
+          val all = (first +: Seq(once(), once()).filter(_ >= 0))
+          median(all)
+        }
+      name -> v
     }
 
     // ---------------- PBF decode throughput (reference SLA analog) --------
@@ -190,10 +258,14 @@ object Bench {
     // best-of-iterations (round-1 ADVICE).
     // local-iteration escape hatch: skip the ~15-minute scaling protocol
     // when only the query phase is being tuned (never set by the driver)
+    val queryPhaseJson =
+      s"""{"probe_ratio":$queryProbeRatio,"probe_wait_s":$queryProbeWait,""" +
+        s""""repeat_threshold_s":$repeatThresholdS,""" +
+        repeatedBuf.map("\"" + _ + "\"").mkString(""""repeated_median3":[""", ",", "]}")
     if (sys.env.contains("GRAFT_BENCH_QUERIES_ONLY")) {
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val total0 = results.map(_._2).filter(_ >= 0).sum
-      val json0 = s"""{"metric":"queries only","value":$total0,"unit":"sec","queries":$qs0,"sf":"$sfDir"}"""
+      val json0 = s"""{"metric":"queries only","value":$total0,"unit":"sec","queries":$qs0,"query_phase":$queryPhaseJson,"sf":"$sfDir"}"""
       println(json0)
       return
     }
@@ -201,11 +273,6 @@ object Bench {
     def roundEff(r: ((Double, Long), (Double, Long))): Double = {
       val ((sl, rl), (sh, rh)) = r
       ((rh / sh) / (rl / sl)) / (coresHigh.toDouble / coresLow)
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      val n = s.size
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     // GATE + HEADLINE = median of the PLAUSIBLE matched rounds (round-3
     // verdict: max-of-rounds under a sample-until-pass stopping rule is
@@ -227,7 +294,6 @@ object Bench {
     // published in the JSON, and the median gate is monotone-honest — an
     // extra round can only pull the headline TOWARD the typical round.
     val maxRounds = sys.env.getOrElse("GRAFT_BENCH_MAX_ROUNDS", "4").toInt
-    val probeWaitS = sys.env.getOrElse("GRAFT_BENCH_PROBE_WAIT_S", "180").toInt
     val roundsBuf = scala.collection.mutable.ArrayBuffer.empty[((Double, Long), (Double, Long))]
     val probesBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
     while (roundsBuf.size < 2 ||
@@ -275,7 +341,7 @@ object Bench {
         s""""efficiency_best":$effBest,"headline_round":$headlineRound,"rounds":$roundsJson,""" +
         s""""cores_max":$cpus,"sec_max":$secMax,"rows_per_s_max":$thrMax}"""
     val json =
-      s"""{"metric":"graft spatial-join + tile-assignment + parity throughput; per-query wall","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode":{"elements":$totalElems,"sec":$decodeSec,"elements_per_s":$decodeRate},"scaling":$scaling}"""
+      s"""{"metric":"graft spatial-join + tile-assignment + parity throughput; per-query wall","value":$total,"unit":"sec","queries":$qs,"query_phase":$queryPhaseJson,"sf":"$sfDir","decode":{"elements":$totalElems,"sec":$decodeSec,"elements_per_s":$decodeRate},"scaling":$scaling}"""
     // stdout line for the driver, plus a file copy so round-over-round
     // comparison survives any log pollution (round-1 BENCH_r01.json had
     // "parsed": null because sbt prefixed the line with "[info] ")
