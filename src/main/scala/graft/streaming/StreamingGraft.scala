@@ -32,14 +32,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingGraft {
 
   /** Start the incremental maintenance query (AvailableNow by default:
-    * drain what exists, then stop — restart to pick up new files). */
+    * drain what exists, then stop — restart to pick up new files).
+    *
+    * @param compactEvery fold deltas into a snapshot ([[compact]]) after
+    *        every N micro-batches (0 = never; run compact() out of band).
+    *        Compaction runs inside the foreachBatch callback — the
+    *        maintenance window where no concurrent rollup of this query's
+    *        own output is racing the GC. */
   def run(imagesStream: DataFrame, polys: DataFrame, deltaDir: String,
       checkpointDir: String, z: Int = 10, res: Int = 12,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     imagesStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchDelta(batch, polys, deltaDir, batchId, z, res)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compact(batch.sparkSession, deltaDir)
+          ()
+        }
       }
       .trigger(trigger)
       .start()

@@ -110,4 +110,36 @@ class StreamingGraftSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingGraft.compact(spark, deltaDir) === 2L)
     assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full)
   }
+
+  test("auto-compaction inside the streaming query keeps rollup ≡ batch recompute") {
+    val all = Images.synthesize(spark, 300, world.clusterCenters, 4).cache()
+    def slice(lo: Long, hi: Long) = all.where(
+      col("image_id") >= Images.idString(lo) && col("image_id") < Images.idString(hi))
+    val srcDir = s"$tmpDir/sgraft-auto-src"
+    slice(0, 100).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f1")
+    slice(100, 200).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f2")
+    slice(200, 300).coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f3")
+    val deltaDir = s"$tmpDir/sgraft-auto-delta"
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+    val q = StreamingGraft.run(stream, polys, deltaDir, s"$tmpDir/sgraft-auto-ckpt",
+      z = 10, res = 12, compactEvery = 2)
+    q.awaitTermination()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("tile") -> ((r.getAs[Long]("n_images"), r.getAs[Long]("n_hits"))))
+      .toMap
+    val batch = asMap(GraftJob.run(all, polys, z = 10, res = 12)
+      .select(col("tile"), col("tile_z"), col("tile_x"), col("tile_y"),
+        col("n_images"), col("n_hits")))
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === batch,
+      "rollup after in-stream compaction != batch recompute")
+    // a snapshot exists and the folded batch partitions are gone
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$deltaDir/_snapshot")),
+      "compactEvery never produced a snapshot")
+    val remaining = fs.listStatus(new org.apache.hadoop.fs.Path(deltaDir))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq
+    assert(remaining.size <= 1, s"folded partitions not GC'd: $remaining")
+  }
 }
