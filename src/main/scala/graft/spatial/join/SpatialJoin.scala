@@ -92,8 +92,11 @@ object SpatialJoin {
         // never the points) finds the cells at/above `hotCellThreshold`;
         // only those replicate, and only their points spread across salt
         // buckets. At most |points|/threshold cells can qualify, so the
-        // hot set is broadcast-bounded by construction. Exchange reuse
-        // dedups the two broadcast probes of the same count subtree.
+        // hot set is broadcast-bounded by construction. The two broadcast
+        // probes of the same count subtree collapse at runtime: AQE
+        // assigns both the SAME BroadcastQueryStage (verified in
+        // ExplainProbe — one scan+agg executes), so the occupancy pass
+        // costs one narrow scan, not two.
         if (hotCellThreshold <= 0) {
           val replicated = polyCells.withColumn("salt_id",
             explode(sequence(lit(0), lit(salt - 1))))

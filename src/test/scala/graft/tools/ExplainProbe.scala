@@ -40,6 +40,21 @@ object ExplainProbe {
       graft.pipeline.GraftJob.run(images, polys, mode = "broadcast"))
     show("GraftJob salted mode (expect shuffle join keyed (cell, salt_id))",
       graft.pipeline.GraftJob.run(images, polys, mode = "salted", salt = 4))
+    // hot-cell-targeted salting: the occupancy-count subtree feeds TWO
+    // broadcast probes (polygon marking + point marking). The static plan
+    // shows both; at runtime AQE's stage reuse must collapse the second
+    // into a reused broadcast stage — check the FINAL adaptive plan.
+    val hotSalted = graft.spatial.join.SpatialJoin.pipJoin(
+      graft.tiles.Tiles.assignPoints(images, 10).select("image_id", "lon", "lat"),
+      polys, res = 12, mode = "salted", salt = 4, hotCellThreshold = 50L)
+    show("pipJoin hot-cell salted (static: two occupancy subtrees; AQE reuses at runtime)",
+      hotSalted)
+    hotSalted.count()
+    val finalPlan = hotSalted.queryExecution.executedPlan.toString
+    val bqsIds = "BroadcastQueryStage ([0-9]+)".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toList
+    println(s"hot-cell salted FINAL adaptive plan: BroadcastQueryStage ids = $bqsIds " +
+      s"(a repeated id means AQE reused the occupancy broadcast — ONE scan+agg at runtime)")
 
     val staged = s"/tmp/probe-staged"
     graft.util.HadoopIO.delete(staged, spark.sessionState.newHadoopConf())
