@@ -330,6 +330,8 @@ object SparkEntry {
     "m2_image_resize" -> ((s, dir) => {
       graft.tiles.Multimodal.resize(images(s, dir).limit(500), 8, 8)
         .select(col("image_id"), length(col("bytes")).as("png_len"), col("w"), col("h"))
+        // self-certifying (e2 pattern): requested dims + a real re-encoded PNG
+        .withColumn("ok", col("w") === 8 && col("h") === 8 && col("png_len") > lit(8L))
     }),
     "m3_audio_features_stub" -> ((s, dir) => {
       val media = images(s, dir).limit(1000)
@@ -347,6 +349,8 @@ object SparkEntry {
       graft.tiles.Multimodal.videoFrameSample(media, everyK = 6, frames = 24)
         .where(col("real_decode"))
         .select(col("media_id"), size(col("frame_idx")).as("n_sampled"))
+        // generator invariant: 24 frames sampled every 6th = exactly 4
+        .withColumn("ok", col("n_sampled") === 4)
     }),
     "m5_audio_wav" -> ((s, dir) => {
       // REAL audio decode: deterministic RIFF/WAVE PCM fixtures synthesized
@@ -358,6 +362,10 @@ object SparkEntry {
       graft.tiles.Multimodal.audioFeatures(media, windows = 8)
         .where(col("real_decode"))
         .select(col("media_id"), col("zero_crossings"), col("sample_rate"), col("n_samples"))
+        // generator invariants (Wav.synth): 16 kHz, 4096 samples, a real
+        // oscillating signal (WavSpec holds the exact-tolerance ZC gates)
+        .withColumn("ok", col("sample_rate") === 16000 && col("n_samples") === 4096L &&
+          col("zero_crossings") > 0L)
     }),
     "m4_video_frames_stub" -> ((s, dir) => {
       val media = images(s, dir).limit(1000)
