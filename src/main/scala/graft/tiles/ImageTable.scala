@@ -104,13 +104,16 @@ object ImageTable {
     // pending marker (not a time heuristic — a 100-TB data write can
     // outlive any fixed minAge) tells vacuum the txn dir is in flight.
     val dataDir = s"$root/data/txn-$token"
+    // one try/finally spans EVERYTHING after registration — a failure
+    // anywhere (data write, file listing, lock timeout, interrupted sleep)
+    // must stop the heartbeat and drop the marker, or the orphan txn dir
+    // is skipped by every future vacuum and the daemon executor leaks
     val pending = registerPending(root, s"txn-$token", conf)
     try {
+    val newEntries = {
       df.write.mode("overwrite").parquet(dataDir)
-    } catch {
-      case e: Throwable => pending.close(); throw e
+      dataFileEntries(dataDir, conf)
     }
-    val newEntries = dataFileEntries(dataDir, conf)
     // 2. metadata commit under the token-stamped lock
     val lock = s"$root/metadata/.append-lock"
     val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
@@ -152,10 +155,6 @@ object ImageTable {
         parentManifest ++ newEntries, conf)
       snapshotId
     } finally {
-      // committed (or failed): the manifest now references the files (or
-      // the txn dir is orphaned garbage) — either way the pending marker
-      // has served its purpose
-      pending.close()
       // release ONLY our own lock instance: if this holder stalled past
       // staleLockMs and a waiter broke the lock, it now carries the
       // waiter's token — an unconditional delete would free the waiter's
@@ -163,6 +162,12 @@ object ImageTable {
       val still = try graft.util.HadoopIO.readString(lock, conf)
         catch { case _: Exception => null }
       if (still == token) graft.util.HadoopIO.delete(lock, conf)
+    }
+    } finally {
+      // committed (or failed anywhere above): the manifest now references
+      // the files (or the txn dir is orphaned garbage) — either way the
+      // pending marker has served its purpose
+      pending.close()
     }
   }
 
@@ -190,8 +195,14 @@ object ImageTable {
       t
     })
     exec.scheduleAtFixedRate(() => {
-      // setTimes is metadata-only and atomic — no partial-content window
-      try fs.setTimes(marker, System.currentTimeMillis(), -1L)
+      // refresh by REWRITING the marker: Hadoop's base FileSystem.setTimes
+      // is a silent no-op (and object stores like S3A don't override it),
+      // which would freeze the mtime at creation and let vacuum classify a
+      // live multi-hour append as crashed — exactly the 100-TB scenario
+      // this marker exists for. Nobody reads the marker's CONTENT (vacuum
+      // keys on mtime/existence), so a rewrite needs no atomicity.
+      try graft.util.HadoopIO.writeString(marker.toString,
+        s"in-flight ${System.currentTimeMillis()}", conf)
       catch { case _: Exception => () }
     }, PendingHeartbeatMs, PendingHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => {
@@ -262,10 +273,16 @@ object ImageTable {
       .flatMap(id => manifest(spark, root, id)).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     if (!fs.exists(dataDir)) return Seq.empty
+    // list DATA first, markers second: an append registers its marker
+    // before writing any data file, so any txn dir visible in this listing
+    // has its marker visible in the (later) marker listing — the reverse
+    // order leaves a window where a just-registered append's files are
+    // seen but its marker was not
+    val dataChildren = fs.listStatus(dataDir)
     val inFlight = pendingChildren(root, pendingGraceMs, conf)
     val now = System.currentTimeMillis()
     val deleted = Seq.newBuilder[String]
-    fs.listStatus(dataDir).filterNot(s => inFlight.contains(s.getPath.getName)).foreach { sub =>
+    dataChildren.filterNot(s => inFlight.contains(s.getPath.getName)).foreach { sub =>
       // each child is a snapshot or txn dir of part-files
       val files = if (sub.isDirectory) fs.listStatus(sub.getPath).toSeq else Seq(sub)
       files.filter(_.isFile).foreach { f =>

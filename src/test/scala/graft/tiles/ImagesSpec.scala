@@ -187,6 +187,12 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
       ImageTable.append(delta, root, staleLockMs = 60000L, lockTimeoutMs = 700L)
     }
     assert(ImageTable.currentSnapshot(spark, root) === 1L)
+    // the failed append must not leak its pending marker (a leaked marker
+    // would heartbeat forever and shield the orphan txn dir from vacuum)
+    val pendingDir = new org.apache.hadoop.fs.Path(s"$root/metadata/pending")
+    val pfs = graft.util.HadoopIO.fileSystem(root, conf)
+    assert(!pfs.exists(pendingDir) || pfs.listStatus(pendingDir).isEmpty,
+      "lock-timeout append leaked its pending marker")
     // stale lock (holder crashed) → broken, append proceeds
     val fs = graft.util.HadoopIO.fileSystem(lock, conf)
     val p = new org.apache.hadoop.fs.Path(lock)
