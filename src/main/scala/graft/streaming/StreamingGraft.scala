@@ -126,20 +126,48 @@ object StreamingGraft {
     * if there was nothing new to fold. */
   def compact(spark: SparkSession, deltaDir: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(deltaDir).getFileSystem(conf)
+    def gcDeltasUpTo(w: Long): Unit =
+      deltaBatchIds(deltaDir, conf).filter(_ <= w)
+        .foreach(id => fs.delete(new Path(s"$deltaDir/batch_id=$id"), true))
     val oldW = latestSnapshotVersion(deltaDir, conf)
     val tail = deltaBatchIds(deltaDir, conf).filter(_ > oldW)
-    if (tail.isEmpty) return oldW
+    if (tail.isEmpty) {
+      // nothing new to fold, but stale partitions a replayed batch rewrote
+      // at-or-below the watermark are still garbage — reclaim them now
+      // instead of waiting for the next data-bearing compact
+      gcDeltasUpTo(oldW)
+      return oldW
+    }
     val newW = tail.max
-    // rollup() as of now == old snapshot + tail, exactly what we persist
-    rollup(spark, deltaDir)
+    // The snapshot is built from the EXPLICIT tail listing above, never a
+    // re-listing: a micro-batch landing between two listings would
+    // otherwise be folded into the snapshot while sitting ABOVE the
+    // watermark — rollup would then read it again, double-counting
+    // forever. With the pinned list, a concurrent batch > newW is simply
+    // not folded (rollup picks it up as tail). The one remaining unsafe
+    // concurrency is a retry REWRITING a batch id <= newW mid-fold; the
+    // foreachBatch callback serializes that in-stream (compactEvery), and
+    // out-of-band callers must not run compact while a writer to the SAME
+    // delta dir is active.
+    val parts = Seq(
+      if (oldW >= 0) Some(spark.read.parquet(snapshotPath(deltaDir, oldW))) else None,
+      Some(spark.read.option("basePath", deltaDir)
+        .parquet(tail.map(id => s"$deltaDir/batch_id=$id"): _*)
+        .drop("batch_id"))
+    ).flatten
+    parts.reduce(_ unionByName _)
+      .groupBy("tile", "tile_z", "tile_x", "tile_y")
+      .agg(sum("n_images").as("n_images"), sum("n_hits").as("n_hits"))
       .write.mode("overwrite").parquet(snapshotPath(deltaDir, newW))
-    val fs = new Path(deltaDir).getFileSystem(conf)
     // GC everything at-or-below the new watermark — including stale
     // partitions a replayed pre-compaction batch rewrote below the OLD
     // watermark (already in the snapshot, ignored by rollup, pure garbage)
-    deltaBatchIds(deltaDir, conf).filter(_ <= newW)
-      .foreach(id => fs.delete(new Path(s"$deltaDir/batch_id=$id"), true))
-    snapshotVersions(deltaDir, conf).filter(_ < newW)
+    gcDeltasUpTo(newW)
+    // superseded snapshot versions, INCLUDING half-written (_SUCCESS-less)
+    // leftovers from a crashed compact — they'd otherwise accumulate
+    listChildIds(s"$deltaDir/_snapshot", "v=", conf, requireSuccess = false)
+      .filter(_ < newW)
       .foreach(v => fs.delete(new Path(snapshotPath(deltaDir, v)), true))
     newW
   }
