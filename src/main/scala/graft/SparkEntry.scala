@@ -393,7 +393,10 @@ object SparkEntry {
         .select(col("id"), element_at(col("tags"), "name").as("name"),
           col("lat_nd"), col("lon_nd"))
         .join(broadcast(p2Truth(s, dir)), Seq("id"), "left")
-        .withColumn("ok", coalesce(col("name") === col("exp_name") &&
+        // <=> (null-safe) for name: an amenity node legitimately without a
+        // "name" tag is null on BOTH sides — plain === would yield null and
+        // the coalesce would mark a byte-perfect decode not-ok
+        .withColumn("ok", coalesce(col("name") <=> col("exp_name") &&
           col("lat_nd") === col("exp_lat_nd") &&
           col("lon_nd") === col("exp_lon_nd"), lit(false)))
         .drop("exp_name", "exp_lat_nd", "exp_lon_nd")
