@@ -141,8 +141,13 @@ object Bench {
       probeBest = p
       persistProbeBest()
     }
-  /** Returns (probe/best ratio at release, seconds waited). */
+  /** Returns (probe/best ratio at release, seconds waited). The ratio is
+    * ALWAYS computed against the floor as it stood when the wait began —
+    * a timed-out wait re-baselines the floor for FUTURE waits, but
+    * publishing this round's ratio against the raised floor would label a
+    * still-contended round "quiet" in the artifact. */
   private def waitForQuietHost(maxWaitS: Int): (Double, Int) = {
+    val floorAtStart = probeBest
     var waited = 0
     var p = probeOnce()
     recordProbe(p)
@@ -157,14 +162,21 @@ object Bench {
     }
     if (p > probeBest * 1.12) {
       // timed out: the floor is unreachable on today's host — re-baseline
-      // to the best this wait observed so later rounds/runs stop paying
-      // the full wait against a speed the machine no longer has
+      // so later rounds/runs stop paying the full wait against a speed the
+      // machine no longer has. Capped at 2x: a storm outlasting the wait
+      // may only double the floor, not replace it with an arbitrarily
+      // inflated value (the next quiet probe ratchets it back down).
+      val raised = math.min(bestSeen, probeBest * 2.0)
       System.err.println(f"[bench] probe wait timed out; raising floor " +
-        f"${probeBest}%.2fs -> ${bestSeen}%.2fs")
-      probeBest = bestSeen
+        f"${probeBest}%.2fs -> ${raised}%.2fs")
+      probeBest = raised
+      persistProbeBest()
+    } else if (probeBest < Double.MaxValue) {
+      // quiet probe CONFIRMS the floor: refresh its timestamp so a
+      // steadily healthy host's calibration never ages out of the TTL
       persistProbeBest()
     }
-    (p / probeBest, waited)
+    (p / math.min(floorAtStart, probeBest), waited)
   }
 
   def main(args: Array[String]): Unit = {
