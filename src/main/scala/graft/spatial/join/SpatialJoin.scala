@@ -96,7 +96,14 @@ object SpatialJoin {
         // probes of the same count subtree collapse at runtime: AQE
         // assigns both the SAME BroadcastQueryStage (verified in
         // ExplainProbe — one scan+agg executes), so the occupancy pass
-        // costs one narrow scan, not two.
+        // costs one narrow scan, not two. Caveats that follow: with AQE
+        // disabled the subtree evaluates once per probe (two extra narrow
+        // scans — cost, not correctness), and `points` must be
+        // deterministic — the standard Spark recomputation contract, but
+        // here a non-deterministic source could additionally let the two
+        // evaluations disagree on hotness and mis-route salt ids (a
+        // rand()-derived input should be materialized first; the legacy
+        // thr<=0 path has no such dependence).
         if (hotCellThreshold <= 0) {
           val replicated = polyCells.withColumn("salt_id",
             explode(sequence(lit(0), lit(salt - 1))))

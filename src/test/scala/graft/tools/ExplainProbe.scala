@@ -49,7 +49,11 @@ object ExplainProbe {
       polys, res = 12, mode = "salted", salt = 4, hotCellThreshold = 50L)
     show("pipJoin hot-cell salted (static: two occupancy subtrees; AQE reuses at runtime)",
       hotSalted)
-    hotSalted.count()
+    // collect() (NOT count()) — count() builds a NEW QueryExecution over
+    // groupBy().count(), leaving hotSalted.queryExecution unexecuted;
+    // collect() runs this Dataset's own plan, so executedPlan below is the
+    // FINAL adaptive plan with materialized query stages
+    hotSalted.collect()
     val finalPlan = hotSalted.queryExecution.executedPlan.toString
     val bqsIds = "BroadcastQueryStage ([0-9]+)".r
       .findAllMatchIn(finalPlan).map(_.group(1)).toList
