@@ -48,8 +48,14 @@ object ImageTable {
   def write(df: DataFrame, root: String, snapshotId: Long = 1L): Unit = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val dataDir = s"$root/data/snap=$snapshotId"
-    df.write.mode("overwrite").parquet(dataDir)
-    commitMetadata(root, snapshotId, None, df.schema, dataFileEntries(dataDir, conf), conf)
+    // same exposure as append: the data lands before any manifest
+    // references it, so a long write needs the heartbeated pending marker
+    // or a concurrent vacuum could reclaim its early files mid-write
+    val pending = registerPending(root, s"snap=$snapshotId", conf)
+    try {
+      df.write.mode("overwrite").parquet(dataDir)
+      commitMetadata(root, snapshotId, None, df.schema, dataFileEntries(dataDir, conf), conf)
+    } finally pending.close()
   }
 
   def currentSnapshot(spark: SparkSession, root: String): Long =
