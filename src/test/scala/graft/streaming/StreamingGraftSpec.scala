@@ -109,6 +109,14 @@ class StreamingGraftSpec extends AnyFunSuite with SparkTestBase {
     // idempotent re-compact with nothing new
     assert(StreamingGraft.compact(spark, deltaDir) === 2L)
     assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full)
+    // a replay landing when there is NOTHING new to fold: the no-op compact
+    // must still reclaim the stale sub-watermark partition (it would
+    // otherwise linger until the next data-bearing compact)
+    StreamingGraft.writeBatchDelta(slice(0, 100), polys, deltaDir, batchId = 0L, z = 10, res = 12)
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full)
+    assert(StreamingGraft.compact(spark, deltaDir) === 2L)
+    assert(deltaPartitions().isEmpty, "no-op compact left the stale replayed partition")
+    assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === full)
   }
 
   test("auto-compaction inside the streaming query keeps rollup ≡ batch recompute") {
