@@ -236,8 +236,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
     }),
     "d5_minhash_lsh" -> ((s, dir) => {
-      // oracle-omitted (signature hashing not ANSI-SQL-expressible)
-      Dedup.minhashLsh(table(s, dir, "documents"), threshold = 0.5)
+      // oracle-omitted (signature hashing not ANSI-SQL-expressible).
+      // Each candidate carries BOTH the signature estimate and the exact
+      // n-gram Jaccard (the standard LSH → verify pipeline), so the dump
+      // is value-auditable even without an oracle.
+      val docs = table(s, dir, "documents")
+      val cands = Dedup.minhashLsh(docs, threshold = 0.5)
+      Dedup.ngramJaccard(cands.select("a_id", "b_id"), docs)
+        .withColumnRenamed("jaccard", "exact_jaccard")
+        .join(cands, Seq("a_id", "b_id"))
     }),
     "d6_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(table(s, dir, "documents").limit(2000), maxHamming = 3)
