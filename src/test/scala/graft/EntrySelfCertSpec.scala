@@ -13,7 +13,8 @@ class EntrySelfCertSpec extends AnyFunSuite with SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  for (q <- Seq("p1_pbf_counts", "p2_pbf_tag_filter", "p3_way_assembly", "p4_polygons")) {
+  for (q <- Seq("p1_pbf_counts", "p2_pbf_tag_filter", "p3_way_assembly", "p4_polygons",
+      "m2_image_resize", "m5_audio_wav", "m6_video_avi")) {
     test(s"$q rows are self-certifying: every ok=true, no row lost to the truth join") {
       val df = SparkEntry.queries(q)(spark, sfDir).cache()
       try {
