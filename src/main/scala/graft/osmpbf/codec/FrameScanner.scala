@@ -41,20 +41,28 @@ object FrameScanner {
     var n, w, rel, cs = 0L
     var minId = Long.MinValue
     var maxId = Long.MaxValue
+    var sawCount = false
     var t = r.readTag()
     while (t != 0) {
       (t >> 3) match {
-        case 1 => n = r.readVarint()
-        case 2 => w = r.readVarint()
-        case 3 => rel = r.readVarint()
-        case 4 => cs = r.readVarint()
+        case 1 => n = r.readVarint(); sawCount = true
+        case 2 => w = r.readVarint(); sawCount = true
+        case 3 => rel = r.readVarint(); sawCount = true
+        case 4 => cs = r.readVarint(); sawCount = true
         case 5 => minId = r.readSint()
         case 6 => maxId = r.readSint()
         case _ => r.skip(t & 7)
       }
       t = r.readTag()
     }
-    Some(BlobStats(n, w, rel, cs, minId, maxId))
+    // The OSMPBF spec declares `optional bytes indexdata` with UNSPECIFIED
+    // contents — a foreign writer's bytes that happen to parse but carry
+    // none of our count fields (e.g. an empty buffer: zero tags) must NOT
+    // be trusted as "this blob provably holds zero elements", or keepBlob
+    // silently prunes every such blob (total data loss with no error).
+    // Same for counts that decode negative (malformed varints): poison.
+    if (!sawCount || n < 0 || w < 0 || rel < 0 || cs < 0) None
+    else Some(BlobStats(n, w, rel, cs, minId, maxId))
   } catch { case _: Exception => None }
 
   final case class ScanResult(header: Option[HeaderMeta], blobs: Vector[BlobPointer],

@@ -316,6 +316,10 @@ object PbfCodec {
   final class InfoData {
     var version: Int = -1
     var tsMillis: Long = 0L
+    // presence flag: an Info message legitimately OMITS the timestamp —
+    // surfacing the 0L default as 1970-01-01 would make `ts IS NULL` never
+    // match and skew min/time-bucket aggregations with bogus epoch values
+    var tsSeen: Boolean = false
     var changeset: Long = -1L
     var uid: Int = -1
     var user: String = ""
@@ -323,6 +327,15 @@ object PbfCodec {
   }
 
   final val MemberTypeNames: Array[String] = Array("node", "way", "relation")
+
+  /** Member-type name with the same out-of-range discipline as the
+    * string-table lookup (BlockCtx.str clamps to ""): a corrupt or
+    * forward-versioned member_type (e.g. 3, or 200 truncated to a negative
+    * byte on the wire) maps to "" instead of crashing the task with an
+    * ArrayIndexOutOfBoundsException. Downstream role/type filters simply
+    * never match the unknown type. */
+  def memberTypeName(t: Int): String =
+    if (t >= 0 && t < MemberTypeNames.length) MemberTypeNames(t) else ""
 
   private val EmptyStrings = new Array[String](0)
 
@@ -428,7 +441,7 @@ object PbfCodec {
     while (t != 0) {
       (t >> 3) match {
         case 1 => info.version = r.readVarint().toInt
-        case 2 => info.tsMillis = r.readVarint() * ctx.dateGranularity
+        case 2 => info.tsMillis = r.readVarint() * ctx.dateGranularity; info.tsSeen = true
         case 3 => info.changeset = r.readVarint()
         case 4 => info.uid = r.readVarint().toInt
         case 5 => info.user = ctx.str(r.readVarint())
@@ -551,7 +564,7 @@ object PbfCodec {
       if (diVersion != null && i < diVersion.length) {
         info = new InfoData
         info.version = diVersion(i).toInt
-        if (i < diTs.length) info.tsMillis = diTs(i) * ctx.dateGranularity
+        if (i < diTs.length) { info.tsMillis = diTs(i) * ctx.dateGranularity; info.tsSeen = true }
         if (i < diChangeset.length) info.changeset = diChangeset(i)
         if (i < diUid.length) info.uid = diUid(i).toInt
         if (i < diUserSid.length) info.user = ctx.str(diUserSid(i))

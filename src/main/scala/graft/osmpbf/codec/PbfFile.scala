@@ -54,7 +54,7 @@ object PbfFile {
     override def onRelation(id: Long, memids: Array[Long], roles: Array[String], types: Array[Byte],
         tagK: Array[String], tagV: Array[String], info: PbfCodec.InfoData): Unit = {
       val members = Array.tabulate(memids.length) { i =>
-        RelMember(memids(i), roles(i), PbfCodec.MemberTypeNames(types(i).toInt))
+        RelMember(memids(i), roles(i), PbfCodec.memberTypeName(types(i).toInt))
       }
       relations += OsmRelation(id, members.toSeq, mkTags(tagK, tagV), mkInfo(info), blobOffset)
     }

@@ -29,7 +29,12 @@ object OsmAggregators {
       override def merge(a: BBoxAcc, b: BBoxAcc): BBoxAcc =
         BBoxAcc(math.min(a.minLon, b.minLon), math.min(a.minLat, b.minLat),
           math.max(a.maxLon, b.maxLon), math.max(a.maxLat, b.maxLat), a.n + b.n)
-      override def finish(r: BBoxAcc): BBoxAcc = r
+      // zero input: the fold sentinel is an INVERTED box (min > max) that a
+      // caller could mistake for a real result — surface NaN bounds instead,
+      // which poison any downstream geometry visibly (n = 0 stays the
+      // machine-checkable emptiness signal)
+      override def finish(r: BBoxAcc): BBoxAcc =
+        if (r.n == 0L) BBoxAcc(Double.NaN, Double.NaN, Double.NaN, Double.NaN, 0L) else r
       override def bufferEncoder: Encoder[BBoxAcc] = Encoders.product[BBoxAcc]
       override def outputEncoder: Encoder[BBoxAcc] = Encoders.product[BBoxAcc]
     }

@@ -49,7 +49,18 @@ object OsmPbf {
 
   /** Header metadata (reference `header_blob`/HeaderBlock accessors,
     * indexed_reader.rs:203-205, header_block.rs:7-31). Driver-side read of
-    * the first OSMHeader blob only. */
+    * the first OSMHeader blob only.
+    *
+    * Prefer the SparkSession overload on a cluster: a bare
+    * `new Configuration()` carries none of the session's S3/HDFS
+    * credentials or endpoint settings (the exact trap OsmPbfScan documents
+    * for its own conf), so the conf-less form only works where the default
+    * Hadoop config can already reach the path. */
   def header(path: String, conf: Configuration = new Configuration()): Option[HeaderMeta] =
     FrameScanner.scan(path, conf).header
+
+  /** Header metadata through the session's Hadoop conf — the cluster-safe
+    * form (credentials/endpoints preserved). */
+  def header(spark: SparkSession, path: String): Option[HeaderMeta] =
+    header(path, spark.sessionState.newHadoopConf())
 }

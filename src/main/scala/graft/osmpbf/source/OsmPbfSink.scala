@@ -39,12 +39,34 @@ object OsmPbfSink {
 
   /** Write nodes (and optionally ways/relations) to `dir`. Elements should
     * be pre-partitioned however the caller wants files split (e.g.
-    * SpatialJoin.repartitionByCellPrefix for spatial locality). */
+    * SpatialJoin.repartitionByCellPrefix for spatial locality).
+    *
+    * Overwrite semantics (parquet-writer discipline): a target already
+    * holding `part-*.osm.pbf` files FAILS unless `overwrite = true`, which
+    * deletes them first. Without this, rewriting into a directory with a
+    * previous run's HIGHER partition count silently mixed stale part files
+    * into every later directory read — per-partition rename-commit only
+    * replaces files the new run also produces. */
   def write(nodes: Dataset[OsmNode], ways: Dataset[OsmWay],
       relations: Dataset[OsmRelation], dir: String,
-      granularity: Long = 100L, compress: Boolean = true): Unit = {
+      granularity: Long = 100L, compress: Boolean = true,
+      overwrite: Boolean = false): Unit = {
     val spark = nodes.sparkSession
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val fs = HadoopIO.fileSystem(dir, conf.value)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(dirPath)) {
+      val stale = fs.listStatus(dirPath).filter(s => s.isFile && {
+        val n = s.getPath.getName
+        n.startsWith("part-") && n.endsWith(".osm.pbf")
+      })
+      if (stale.nonEmpty) {
+        if (!overwrite) throw new java.io.IOException(
+          s"osmpbf sink target $dir already holds ${stale.length} part file(s); " +
+            "pass overwrite=true to replace them (mixing would corrupt directory reads)")
+        stale.foreach(s => fs.delete(s.getPath, false))
+      }
+    }
     HadoopIO.fileSystem(dir, conf.value).mkdirs(new org.apache.hadoop.fs.Path(dir))
     nodes.foreachPartition { (it: Iterator[OsmNode]) =>
       writePartition(dir, "n", conf, granularity, compress)(it)(_ addNode _)

@@ -1,6 +1,6 @@
 package graft.osmpbf.source
 
-import graft.osmpbf.codec.{FrameScanner, PbfCodec}
+import graft.osmpbf.codec.{FrameScanner, PbfCodec, PbfParseException}
 import graft.osmpbf.model.BlobPointer
 
 import org.apache.hadoop.conf.Configuration
@@ -277,8 +277,21 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
   private def keepBlob(ptr: BlobPointer): Boolean =
     OsmPbfScan.keepBlob(ptr, kindsMask, idMin, idMax)
 
+  // without this registration Spark drops every value the readers report
+  // through currentMetricsValues (names are matched against the map built
+  // from supportedCustomMetrics) — the permissive-mode skip counter the
+  // class doc tells users to watch would be silently invisible
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new DecodeErrorsMetric)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmPbfReaderFactory(requiredSchema, kindsMask, confS, permissive)
+}
+
+/** Sum-aggregated task metric: corrupt blobs skipped under permissive mode. */
+class DecodeErrorsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "decodeErrors"
+  override def description(): String = "corrupt blobs skipped (permissive mode)"
 }
 
 object OsmPbfScan {
@@ -398,8 +411,25 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
     val hi = end.asInstanceOf[OsmPbfOffset].lastFile
     val conf = confS.value
     val files = listFiles().filter(p => p > lo && p <= hi)
-    val ptrs = files.flatMap(p => FrameScanner.scan(p, conf).blobs
-      .filter(b => OsmPbfScan.keepBlob(b, kindsMask, idMin, idMax)))
+    // Same distribution rule as the batch path: a stream started against a
+    // large BACKLOG (thousands of queued diff files) must not frame-scan
+    // file-by-file on the driver — one seek per blob per file over the
+    // network stalls the first trigger for hours before any task launches.
+    // Steady-state triggers see a handful of new files and stay driver-side.
+    val distributeFrom =
+      Option(options.get("indexScanThreshold")).map(_.toInt).getOrElse(4)
+    val ptrs =
+      if (files.size >= distributeFrom) {
+        val cs = confS
+        val (km, lo2, hi2) = (kindsMask, idMin, idMax)
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .parallelize(files, math.min(files.size, 2048))
+          .flatMap(p => FrameScanner.scan(p, cs.value).blobs
+            .filter(b => OsmPbfScan.keepBlob(b, km, lo2, hi2)))
+          .collect().toSeq
+          .sortBy(p => (p.path, p.headerOffset))
+      } else files.flatMap(p => FrameScanner.scan(p, conf).blobs
+        .filter(b => OsmPbfScan.keepBlob(b, kindsMask, idMin, idMax)))
     OsmPbfScan.pack(ptrs, target)
   }
 
@@ -519,7 +549,9 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
         while (i < infoFields.length) {
           infoFields(i) match {
             case "version" => r.setInt(i, info.version)
-            case "ts" => r.setLong(i, info.tsMillis * 1000L) // TimestampType = micros
+            case "ts" => // TimestampType = micros; omitted timestamp = NULL,
+              // never a fabricated 1970 epoch (`ts IS NULL` must match)
+              if (info.tsSeen) r.setLong(i, info.tsMillis * 1000L) else r.setNullAt(i)
             case "changeset" => r.setLong(i, info.changeset)
             case "uid" => r.setInt(i, info.uid)
             case "user" => r.update(i, UTF8String.fromString(info.user))
@@ -566,7 +598,7 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
             memberFields(j) match {
               case "memid" => m.setLong(j, memids(i))
               case "role" => m.update(j, UTF8String.fromString(roles(i)))
-              case "mtype" => m.update(j, UTF8String.fromString(PbfCodec.MemberTypeNames(types(i).toInt)))
+              case "mtype" => m.update(j, UTF8String.fromString(PbfCodec.memberTypeName(types(i).toInt)))
               case other => throw new IllegalStateException(s"unknown member field $other")
             }
             j += 1
@@ -595,15 +627,25 @@ class OsmPbfPartitionReader(partition: OsmPbfPartition, requiredSchema: StructTy
       blobIdx += 1
       rows = mutable.ArrayBuffer.empty
       rowIdx = 0
+      // the I/O read sits OUTSIDE the permissive net: a transient storage
+      // error (S3 socket reset, throttling) on a perfectly healthy blob
+      // must FAIL the task so Spark retries it — swallowing it as a
+      // "decode error" would turn a retryable fault into permanent silent
+      // data loss
+      val payload = readPayload(ptr)
       try {
-        val payload = readPayload(ptr)
         val block = PbfCodec.decodeBlobPayload(payload, 0, payload.length)
         PbfCodec.decodeBlock(block,
           new RowHandler(ptr.headerOffset,
             if (posFile >= 0) UTF8String.fromString(ptr.path) else null),
           kindsMask, wantTags, wantInfo)
       } catch {
-        case e: Exception if permissive =>
+        // only CONTENT failures are skippable: the typed parse error plus
+        // the runtime errors hostile/garbage bytes can still trigger in
+        // the decode path — never IOException (the codec never throws it)
+        case e @ (_: PbfParseException | _: ArrayIndexOutOfBoundsException |
+                  _: NegativeArraySizeException | _: IndexOutOfBoundsException)
+            if permissive =>
           // the handler may have appended rows before the failure —
           // skip-and-count means the WHOLE blob is skipped, never a
           // partial (possibly garbage-decoded) prefix emitted as data

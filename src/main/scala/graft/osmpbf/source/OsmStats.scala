@@ -23,14 +23,15 @@ object OsmStats {
       .parallelize(paths, math.max(1, math.min(paths.size, 2048)))
       .flatMap(p => FrameScanner.scan(p, confS.value).blobs)
       .map(b => (b.path, b.blobType, b.headerOffset, b.dataSize.toLong,
-        b.nodeCount, b.wayCount, b.relationCount, b.minId, b.maxId))
+        b.nodeCount, b.wayCount, b.relationCount, b.changesetCount, b.minId, b.maxId))
     blobs
       .toDF("path", "blob_type", "offset", "data_size",
-        "node_count", "way_count", "relation_count", "min_id", "max_id")
+        "node_count", "way_count", "relation_count", "changeset_count", "min_id", "max_id")
       // unknown stats (foreign files / header blobs) surface as NULL, not -1
       .withColumn("node_count", when(col("node_count") >= 0, col("node_count")))
       .withColumn("way_count", when(col("way_count") >= 0, col("way_count")))
       .withColumn("relation_count", when(col("relation_count") >= 0, col("relation_count")))
+      .withColumn("changeset_count", when(col("changeset_count") >= 0, col("changeset_count")))
       .withColumn("min_id", when(col("min_id") =!= Long.MinValue, col("min_id")))
       .withColumn("max_id", when(col("max_id") =!= Long.MaxValue, col("max_id")))
   }

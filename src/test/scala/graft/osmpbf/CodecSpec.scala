@@ -362,6 +362,74 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     intercept[PbfParseException](PbfCodec.decodeBlobPayload(b6, 0, b6.length))
   }
 
+  test("foreign indexdata without count fields is not trusted as zero counts") {
+    // a foreign writer may use BlobHeader field 2 (spec: `optional bytes
+    // indexdata`, contents unspecified) for its own purposes — bytes that
+    // parse but carry none of our count fields must yield None, or keepBlob
+    // prunes the blob as provably-empty (silent total data loss)
+    assert(FrameScanner.parseStats(Array.emptyByteArray).isEmpty,
+      "empty indexdata parsed as all-zero counts")
+    val idOnly = new ProtoWriter
+    idOnly.sint(5, 1L); idOnly.sint(6, 99L) // ids but no counts
+    assert(FrameScanner.parseStats(idOnly.toBytes).isEmpty,
+      "count-less indexdata parsed as all-zero counts")
+    // negative (malformed) counts are poison, not data
+    val neg = new ProtoWriter
+    neg.varint(1, -5L)
+    assert(FrameScanner.parseStats(neg.toBytes).isEmpty)
+    // ours still parse
+    val ours = new ProtoWriter
+    ours.varint(1, 3L); ours.varint(2, 0L); ours.varint(3, 0L); ours.varint(4, 0L)
+    assert(FrameScanner.parseStats(ours.toBytes).map(_.nodes) === Some(3L))
+  }
+
+  test("out-of-range relation member_type maps to empty, never crashes") {
+    assert(PbfCodec.memberTypeName(0) === "node")
+    assert(PbfCodec.memberTypeName(2) === "relation")
+    assert(PbfCodec.memberTypeName(3) === "")
+    assert(PbfCodec.memberTypeName(-56) === "") // 200 truncated to byte
+  }
+
+  test("Info without timestamp decodes ts-absent, never a fabricated 1970 epoch") {
+    // hand-crafted dense block: one node whose DenseInfo carries version/
+    // changeset/uid/user but NO timestamps array (all DenseInfo arrays are
+    // optional per spec — osmium drops timestamps under some flags)
+    val st = new ProtoWriter
+    st.bytes(1, "".getBytes("UTF-8")) // index 0 = empty sentinel
+    val di = new ProtoWriter
+    di.packedVarints(1, Seq(3L))       // version
+    di.packedDeltaSints(3, Seq(7L))    // changeset
+    di.packedDeltaSints(4, Seq(1L))    // uid
+    di.packedDeltaSints(5, Seq(0L))    // user_sid -> ""
+    val dn = new ProtoWriter
+    dn.packedDeltaSints(1, Seq(42L))   // id
+    dn.message(5, di)
+    dn.packedDeltaSints(8, Seq(0L))    // lat raw
+    dn.packedDeltaSints(9, Seq(0L))    // lon raw
+    val g = new ProtoWriter
+    g.message(2, dn)
+    val block = new ProtoWriter
+    block.message(1, st)
+    block.message(2, g)
+    var seen = 0
+    PbfCodec.decodeBlock(block.toBytes, new PbfCodec.ElementHandler {
+      override def onNode(id: Long, latNd: Long, lonNd: Long, lat: Double, lon: Double,
+          tagK: Array[String], tagV: Array[String], info: PbfCodec.InfoData): Unit = {
+        seen += 1
+        assert(id === 42L)
+        assert(info != null && info.version === 3 && !info.tsSeen,
+          "omitted DenseInfo timestamp must decode as absent")
+      }
+      override def onWay(id: Long, refs: Array[Long], tagK: Array[String],
+          tagV: Array[String], info: PbfCodec.InfoData): Unit = ()
+      override def onRelation(id: Long, memids: Array[Long], roles: Array[String],
+          types: Array[Byte], tagK: Array[String], tagV: Array[String],
+          info: PbfCodec.InfoData): Unit = ()
+      override def onChangeSet(id: Long, tagK: Array[String], tagV: Array[String]): Unit = ()
+    })
+    assert(seen === 1)
+  }
+
   test("changeset tags survive the local PbfFile reader (Collector parity with Spark rows)") {
     val path = java.nio.file.Files.createTempDirectory("cs").toString + "/cs.osm.pbf"
     val w = graft.osmpbf.codec.PbfWriter(path)

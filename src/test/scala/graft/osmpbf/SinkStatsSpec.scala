@@ -69,6 +69,39 @@ class SinkStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(agg === seq) // parallel ≡ sequential (reader_integration.rs:157 analog)
   }
 
+  test("bbox Aggregator over an EMPTY input reports NaN bounds, not the inverted sentinel") {
+    import spark.implicits._
+    val none = spark.emptyDataset[(Double, Double)]
+    val agg = none.select(OsmAggregators.bboxAgg.toColumn).collect().head
+    assert(agg.n === 0L)
+    // the fold sentinel (minLon=180 > maxLon=-180) would read as a real box
+    assert(agg.minLon.isNaN && agg.minLat.isNaN && agg.maxLon.isNaN && agg.maxLat.isNaN,
+      s"empty bbox leaked the fold sentinel: $agg")
+  }
+
+  test("sink refuses a target holding part files unless overwrite=true (no stale mixing)") {
+    import spark.implicits._
+    val outDir = s"$tmpDir/sink-overwrite"
+    val nodes = OsmPbf.nodes(spark, pbfPath)
+    val ways = OsmPbf.ways(spark, pbfPath)
+    val rels = OsmPbf.relations(spark, pbfPath)
+    // first write with MORE partitions than the second
+    OsmPbfSink.write(nodes.repartition(5), ways.repartition(1), rels.repartition(1), outDir)
+    val firstCount = spark.read.format("osmpbf").load(outDir).count()
+    intercept[java.io.IOException] {
+      OsmPbfSink.write(nodes.repartition(2), ways.repartition(1), rels.repartition(1), outDir)
+    }
+    OsmPbfSink.write(nodes.repartition(2), ways.repartition(1), rels.repartition(1), outDir,
+      overwrite = true)
+    // the 5-partition run's extra part files must be gone: same row count,
+    // not first ∪ second
+    assert(spark.read.format("osmpbf").load(outDir).count() === firstCount)
+    val names = graft.util.HadoopIO.fileSystem(outDir, spark.sessionState.newHadoopConf())
+      .listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .map(_.getPath.getName).filter(n => n.startsWith("part-n-")).sorted
+    assert(names.length === 2, s"stale node part files survived: ${names.toSeq}")
+  }
+
   test("checksum Aggregator is partition-count invariant") {
     import spark.implicits._
     val data = (1 to 500).map(i => Array.tabulate[Byte](64)(j => ((i * 17 + j * 42) % 256).toByte))

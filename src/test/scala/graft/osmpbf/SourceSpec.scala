@@ -204,4 +204,45 @@ class SourceSpec extends AnyFunSuite with SparkTestBase {
     val n = OsmPbf.raw(spark, dir).where(col("kind") === "node").count()
     assert(n === w1.nodes.size + w2.nodes.size)
   }
+
+  test("permissive mode skips only the corrupt blob and the metric is registered") {
+    import graft.osmpbf.codec.{FrameScanner, PbfCodec}
+    import graft.osmpbf.source.{OsmPbfScan, OsmPbfSource}
+    // registration: Spark matches reader-reported names against
+    // supportedCustomMetrics — an unregistered name is silently dropped
+    spark.sparkContext // OsmPbfScan captures SparkSession.active at construction
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", path))
+    val scan = new OsmPbfScan(opts, OsmPbfSource.fullSchema, PbfCodec.KindAll,
+      Long.MinValue, Long.MaxValue)
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet === Set("decodeErrors"))
+
+    // corrupt ONE data blob's payload in a purpose-built MULTI-blob file
+    // (the shared fixture fits one blob at the default elementsPerBlock)
+    val dir = java.nio.file.Files.createTempDirectory("perm").toString
+    val clean = s"$dir/clean.osm.pbf"
+    val corrupt = s"$dir/corrupt.osm.pbf"
+    graft.fixtures.OsmWorld.writePbf(clean, world, elementsPerBlock = 200)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(clean),
+      java.nio.file.Paths.get(corrupt))
+    val blobs = FrameScanner.scan(corrupt, spark.sessionState.newHadoopConf()).blobs
+      .filter(_.blobType == "OSMData")
+    assert(blobs.size >= 2, "fixture must span multiple data blobs")
+    val victim = blobs.head
+    val raf = new java.io.RandomAccessFile(corrupt, "rw")
+    try {
+      raf.seek(victim.dataOffset + victim.dataSize / 2)
+      raf.write(Array.fill[Byte](32)(0x5a))
+    } finally raf.close()
+
+    // default mode: content corruption fails the read loudly
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("osmpbf").load(corrupt).count()
+    }
+    // permissive: the intact blobs' rows survive, the corrupt one is skipped
+    val total = spark.read.format("osmpbf").load(clean).count()
+    val got = spark.read.format("osmpbf").option("permissive", "true")
+      .load(corrupt).count()
+    assert(got > 0 && got < total, s"expected partial rows, got $got of $total")
+  }
 }

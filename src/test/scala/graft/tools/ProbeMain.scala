@@ -46,7 +46,7 @@ object ProbeMain {
     val ways = graft.osmpbf.source.OsmPbf.ways(spark, pbfPath)
     val rels = graft.osmpbf.source.OsmPbf.relations(spark, pbfPath)
     graft.util.HadoopIO.delete("/tmp/probe-sink", spark.sessionState.newHadoopConf())
-    graft.osmpbf.source.OsmPbfSink.write(nodes.repartition(3), ways.repartition(2), rels.repartition(2), "/tmp/probe-sink")
+    graft.osmpbf.source.OsmPbfSink.write(nodes.repartition(3), ways.repartition(2), rels.repartition(2), "/tmp/probe-sink", overwrite = true)
     val back = spark.read.format("osmpbf").load("/tmp/probe-sink")
     println("PROBE4 sink round trip: orig=" + df.count() + " back=" + back.count())
     val names = new java.io.File("/tmp/probe-sink").listFiles().map(_.getName).sorted
