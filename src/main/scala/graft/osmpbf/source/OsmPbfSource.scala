@@ -393,6 +393,12 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
   private val target =
     Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(32L * 1024 * 1024)
 
+  // captured at construction (driver-side, session guaranteed active) — the
+  // backlog scan below runs on the stream-execution thread, where relying on
+  // SparkSession.active would couple correctness to which thread Spark
+  // happens to plan micro-batches on
+  private val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+
   private def listFiles(): Seq[String] =
     try OsmPbfSource.resolvePaths(options.get("path"), confS.value).sorted
     catch { case _: java.io.FileNotFoundException => Nil } // dir not created yet
@@ -422,8 +428,7 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
       if (files.size >= distributeFrom) {
         val cs = confS
         val (km, lo2, hi2) = (kindsMask, idMin, idMax)
-        org.apache.spark.sql.SparkSession.active.sparkContext
-          .parallelize(files, math.min(files.size, 2048))
+        sc.parallelize(files, math.min(files.size, 2048))
           .flatMap(p => FrameScanner.scan(p, cs.value).blobs
             .filter(b => OsmPbfScan.keepBlob(b, km, lo2, hi2)))
           .collect().toSeq

@@ -102,6 +102,33 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
     assert(seen.isEmpty)
   }
 
+  test("diffStream over a BACKLOG distributes the frame scan and loses nothing") {
+    // a stream started against a queued-up directory hits the distributed
+    // index-scan path (files ≥ indexScanThreshold) inside the micro-batch
+    // planner thread — the exact context where resolving the session lazily
+    // would be fragile; the SparkContext is captured at stream construction
+    val dir = s"$tmpDir/replication/backlog-diffs"
+    val nSeqs = 6L // > the default indexScanThreshold of 4
+    (1L to nSeqs).foreach { s =>
+      writeDiff(dir, s, Seq(node(100L + s, 1, s"b-$s"), node(200L + s, 1, s"c-$s")))
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = OsmReplication.diffStream(spark, dir)
+      .writeStream
+      .option("checkpointLocation", s"$tmpDir/replication/backlog-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.select("seq", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val expected = (1L to nSeqs).flatMap(s => Seq((s, 100L + s), (s, 200L + s)))
+    assert(seen.sorted === expected.sorted)
+  }
+
   test("streamed diffs fold into the same state as batch applyDiffs") {
     val dir = s"$tmpDir/replication/fold-diffs"
     writeDiff(dir, 1L, Seq(node(2L, 2, "v2-2"), node(3L, 2, "x", visible = false)))
