@@ -382,15 +382,18 @@ object SparkEntry {
     }),
     // ------------------------------------------------- PBF / graft native
     // p1–p4 are `no_oracle` to the driver (DuckDB cannot read .osm.pbf),
-    // so each row is made self-certifying (the e2 pattern): a left join
-    // against the fixture generator's ground truth adds the expected
-    // values and a per-row `ok` verdict. Row counts are unchanged (left
-    // join on a unique key), so the driver's rows check stays stable while
-    // the dumped parquet now carries a value-level signal.
+    // so each row is made self-certifying (the e2 pattern): a FULL OUTER
+    // join against the fixture generator's ground truth adds the expected
+    // values and a per-row `ok` verdict. Full, not left: a row the engine
+    // silently DROPPED still surfaces (truth-only → actual columns NULL →
+    // ok=false); a left join from the actual side cannot see absence. On a
+    // correct run both key sets match, so row counts equal the plain query
+    // and the driver's rows check stays stable. No broadcast hint: Spark
+    // cannot broadcast a full outer join, and the truth sides are tiny.
     "p1_pbf_counts" -> ((s, dir) => {
       val (path, _) = world(dir)
       graft.osmpbf.source.OsmPbf.countElements(s, path)
-        .join(broadcast(p1Truth(s, dir)), Seq("kind"), "left")
+        .join(p1Truth(s, dir), Seq("kind"), "full")
         .withColumn("ok", coalesce(col("count") === col("expected"), lit(false)))
     }),
     "p2_pbf_tag_filter" -> ((s, dir) => {
@@ -399,7 +402,7 @@ object SparkEntry {
         .where(map_contains_key(col("tags"), "amenity"))
         .select(col("id"), element_at(col("tags"), "name").as("name"),
           col("lat_nd"), col("lon_nd"))
-        .join(broadcast(p2Truth(s, dir)), Seq("id"), "left")
+        .join(p2Truth(s, dir), Seq("id"), "full")
         // <=> (null-safe) for name: an amenity node legitimately without a
         // "name" tag is null on BOTH sides — plain === would yield null and
         // the coalesce would mark a byte-perfect decode not-ok
@@ -412,7 +415,7 @@ object SparkEntry {
       val (nodes, ways, _) = osmTables(s, dir)
       graft.spatial.geom.Assembly.wayGeometries(nodes, ways)
         .select(col("id"), size(col("pts")).as("n_pts"), col("closed"))
-        .join(broadcast(p3Truth(s, dir)), Seq("id"), "left")
+        .join(p3Truth(s, dir), Seq("id"), "full")
         .withColumn("ok", coalesce(col("n_pts") === col("exp_n_pts") &&
           col("closed") === col("exp_closed"), lit(false)))
         .drop("exp_n_pts", "exp_closed")
@@ -420,7 +423,7 @@ object SparkEntry {
     "p4_polygons" -> ((s, dir) => {
       polygons(s, dir).select(col("src"), col("id"), size(col("rings")).as("n_rings"),
         col("bbox.min_lon"), col("bbox.max_lat"))
-        .join(broadcast(p4Truth(s, dir)), Seq("src", "id"), "left")
+        .join(p4Truth(s, dir), Seq("src", "id"), "full")
         .withColumn("ok", coalesce(col("n_rings") === col("exp_n_rings") &&
           col("min_lon") === col("exp_min_lon") &&
           col("max_lat") === col("exp_max_lat"), lit(false)))

@@ -225,7 +225,13 @@ object Ann {
     * and per query — the round-4 verdict's last hot-path UDFs). */
   private def centroidSims(centroids: Array[(Int, Array[Float])], vec: Column): Column =
     transform(centroidsLit(centroids),
-      c => struct(cosine(vec, c.getField("vec")).as("sim"), c.getField("i").as("i")))
+      // cosine is NULL against a zero-norm vector (Divide by 0 → NULL, not
+      // NaN): pin it to -2 (below any real cosine) so a degenerate centroid
+      // ranks LAST everywhere — array_sort would otherwise order the null
+      // struct field FIRST and make it every query's top probe, silently
+      // burning one of nProbe probes
+      c => struct(coalesce(cosine(vec, c.getField("vec")), lit(-2.0d)).as("sim"),
+        c.getField("i").as("i")))
 
   /** argmax_i cosine(vec, centroid_i), ties to the lower index (a single
     * `aggregate` fold — no sort of the k-array per row). */

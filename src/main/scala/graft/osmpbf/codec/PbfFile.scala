@@ -31,7 +31,11 @@ object PbfFile {
 
     private def mkInfo(i: PbfCodec.InfoData): Option[OsmInfo] =
       if (i == null) None
-      else Some(OsmInfo(i.version, new java.sql.Timestamp(i.tsMillis), i.changeset, i.uid, i.user, i.visible))
+      // omitted timestamp stays null — Spark-row parity (the DSv2 reader
+      // surfaces it as NULL, never a fabricated 1970 epoch)
+      else Some(OsmInfo(i.version,
+        if (i.tsSeen) new java.sql.Timestamp(i.tsMillis) else null,
+        i.changeset, i.uid, i.user, i.visible))
 
     private def mkTags(k: Array[String], v: Array[String]): Map[String, String] = {
       if (k.isEmpty) Map.empty

@@ -144,7 +144,10 @@ final class PbfWriter(
   private def infoMsg(strings: StringInterner, i: OsmInfo): ProtoWriter = {
     val w = new ProtoWriter
     w.varint(1, i.version.toLong)
-    w.varint(2, i.ts.getTime / dateGranularity)
+    // ts is nullable end-to-end (readers surface an omitted spec-optional
+    // timestamp as NULL, never a fabricated 1970 epoch) — a null here means
+    // OMIT field 2 so the absence round-trips
+    if (i.ts != null) w.varint(2, i.ts.getTime / dateGranularity)
     w.varint(3, i.changeset)
     w.varint(4, i.uid.toLong)
     w.varint(5, strings.id(i.user).toLong)
@@ -168,19 +171,23 @@ final class PbfWriter(
     g
   }
 
-  /** DenseInfo is all-or-nothing per DenseNodes message, so nodes with and
-    * without info go into separate PrimitiveGroups — preserving the
-    * Option[Info] distinction through the round trip. */
+  /** DenseInfo is all-or-nothing per DenseNodes message, and its arrays are
+    * positional — per-element absence is inexpressible — so nodes split into
+    * groups by info shape: info-with-ts, info-without-ts (the spec-optional
+    * timestamp array is omitted wholesale), and no info. Each distinction
+    * survives the round trip. */
   private def denseGroups(strings: StringInterner): Seq[ProtoWriter] = {
     val (withInfo, withoutInfo) = nodes.partition(_.info.isDefined)
-    Seq(withInfo, withoutInfo).filter(_.nonEmpty).map { ns =>
+    val (withTs, withoutTs) = withInfo.partition(_.info.get.ts != null)
+    Seq(withTs, withoutTs, withoutInfo).filter(_.nonEmpty).map { ns =>
       val dn = new ProtoWriter
       dn.packedDeltaSints(1, ns.map(_.id))
       if (ns.head.info.isDefined) {
         val di = new ProtoWriter
         val infos = ns.map(_.info.get)
         di.packedVarints(1, infos.map(_.version.toLong))
-        di.packedDeltaSints(2, infos.map(_.ts.getTime / dateGranularity))
+        if (infos.head.ts != null)
+          di.packedDeltaSints(2, infos.map(_.ts.getTime / dateGranularity))
         di.packedDeltaSints(3, infos.map(_.changeset))
         di.packedDeltaSints(4, infos.map(_.uid.toLong))
         di.packedDeltaSints(5, infos.map(i => strings.id(i.user).toLong))

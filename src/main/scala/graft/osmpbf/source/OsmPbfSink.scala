@@ -64,7 +64,16 @@ object OsmPbfSink {
         if (!overwrite) throw new java.io.IOException(
           s"osmpbf sink target $dir already holds ${stale.length} part file(s); " +
             "pass overwrite=true to replace them (mixing would corrupt directory reads)")
-        stale.foreach(s => fs.delete(s.getPath, false))
+        stale.foreach { s =>
+          fs.delete(s.getPath, false)
+          // a stale `.graft-stats.json` sidecar next to a same-named new
+          // part file would feed the OLD run's blob counts/id zone maps
+          // into pushdown pruning (its only staleness guard is byte-size
+          // equality — a size collision silently prunes live blobs)
+          val sidecar = new org.apache.hadoop.fs.Path(
+            s.getPath.getParent, s.getPath.getName + ".graft-stats.json")
+          if (fs.exists(sidecar)) fs.delete(sidecar, false)
+        }
       }
     }
     HadoopIO.fileSystem(dir, conf.value).mkdirs(new org.apache.hadoop.fs.Path(dir))

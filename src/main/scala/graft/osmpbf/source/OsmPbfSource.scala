@@ -209,28 +209,10 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
   // shared by partition planning AND statistics reporting — the stats must
   // not cost a second index scan.
   private lazy val scannedPointers: Seq[BlobPointer] = {
-    val conf = confS.value
-    val paths = OsmPbfSource.resolvePaths(options.get("path"), conf)
-    // Frame-scanning reads only frame LENGTHS (seek-over-payload), but one
-    // seek per blob across a 100-TB directory is hours of driver time: past
-    // a handful of files the scan itself is distributed over executors and
-    // only the (small) pointer lists are collected.
-    val distributeFrom =
-      Option(options.get("indexScanThreshold")).map(_.toInt).getOrElse(4)
-    if (paths.size >= distributeFrom) {
-      val cs = confS
-      // capture only primitives — `keepBlob _` would drag in `this`
-      // (OsmPbfScan is not serializable, by design)
-      val (km, lo, hi) = (kindsMask, idMin, idMax)
-      org.apache.spark.sql.SparkSession.active.sparkContext
-        .parallelize(paths, math.min(paths.size, 2048))
-        .flatMap(p => FrameScanner.scan(p, cs.value).blobs
-          .filter(b => OsmPbfScan.keepBlob(b, km, lo, hi)))
-        .collect().toSeq
-        .sortBy(p => (p.path, p.headerOffset))
-    } else paths.flatMap { p =>
-      FrameScanner.scan(p, conf).blobs.filter(keepBlob)
-    }
+    val paths = OsmPbfSource.resolvePaths(options.get("path"), confS.value)
+    OsmPbfScan.scanPointers(paths, confS,
+      org.apache.spark.sql.SparkSession.active.sparkContext,
+      kindsMask, idMin, idMax, OsmPbfScan.indexScanThreshold(options))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -274,9 +256,6 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
     new OsmPbfMicroBatchStream(options, requiredSchema, kindsMask, idMin, idMax,
       confS, permissive)
 
-  private def keepBlob(ptr: BlobPointer): Boolean =
-    OsmPbfScan.keepBlob(ptr, kindsMask, idMin, idMax)
-
   // without this registration Spark drops every value the readers report
   // through currentMetricsValues (names are matched against the map built
   // from supportedCustomMetrics) — the permissive-mode skip counter the
@@ -312,6 +291,35 @@ object OsmPbfScan {
     if (cur.nonEmpty) parts += OsmPbfPartition(cur.toArray)
     parts.toArray
   }
+
+  /** Pushdown-pruned blob index over `paths` — THE shared scan for the batch
+    * and streaming planners (one implementation so split caps, sort order
+    * and threshold semantics cannot drift between them). Driver-side below
+    * `threshold` files; at or above it the frame scan distributes over
+    * executors (one seek per blob across a 100-TB directory is hours of
+    * driver time) and only the small pointer lists are collected. `sc` is
+    * by-name: the driver-side branch never touches a SparkContext. */
+  def scanPointers(paths: Seq[String], confS: graft.util.SerializableHadoopConf,
+      sc: => org.apache.spark.SparkContext, kindsMask: Int, idMin: Long,
+      idMax: Long, threshold: Int): Seq[BlobPointer] =
+    if (paths.size >= threshold) {
+      // capture only primitives + the serializable conf — never a Scan/Stream
+      val cs = confS
+      val (km, lo, hi) = (kindsMask, idMin, idMax)
+      sc.parallelize(paths, math.min(paths.size, 2048))
+        .flatMap(p => FrameScanner.scan(p, cs.value).blobs
+          .filter(b => keepBlob(b, km, lo, hi)))
+        .collect().toSeq
+        .sortBy(p => (p.path, p.headerOffset))
+    } else {
+      val conf = confS.value
+      paths.flatMap(p => FrameScanner.scan(p, conf).blobs
+        .filter(b => keepBlob(b, kindsMask, idMin, idMax)))
+    }
+
+  /** Option shared by the batch and streaming planners. */
+  def indexScanThreshold(options: CaseInsensitiveStringMap): Int =
+    Option(options.get("indexScanThreshold")).map(_.toInt).getOrElse(4)
 
   /** Blob-level pushdown: kind counts + id zone maps (reference F5 fixed).
     * Static so the distributed index scan can ship it without capturing the
@@ -415,26 +423,14 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[OsmPbfOffset].lastFile
     val hi = end.asInstanceOf[OsmPbfOffset].lastFile
-    val conf = confS.value
     val files = listFiles().filter(p => p > lo && p <= hi)
-    // Same distribution rule as the batch path: a stream started against a
-    // large BACKLOG (thousands of queued diff files) must not frame-scan
-    // file-by-file on the driver — one seek per blob per file over the
-    // network stalls the first trigger for hours before any task launches.
-    // Steady-state triggers see a handful of new files and stay driver-side.
-    val distributeFrom =
-      Option(options.get("indexScanThreshold")).map(_.toInt).getOrElse(4)
-    val ptrs =
-      if (files.size >= distributeFrom) {
-        val cs = confS
-        val (km, lo2, hi2) = (kindsMask, idMin, idMax)
-        sc.parallelize(files, math.min(files.size, 2048))
-          .flatMap(p => FrameScanner.scan(p, cs.value).blobs
-            .filter(b => OsmPbfScan.keepBlob(b, km, lo2, hi2)))
-          .collect().toSeq
-          .sortBy(p => (p.path, p.headerOffset))
-      } else files.flatMap(p => FrameScanner.scan(p, conf).blobs
-        .filter(b => OsmPbfScan.keepBlob(b, kindsMask, idMin, idMax)))
+    // Shared scan with the batch planner: a stream started against a large
+    // BACKLOG (thousands of queued diff files) distributes the frame scan
+    // over executors instead of stalling the first trigger for hours on
+    // driver-side seeks; steady-state triggers see a handful of new files
+    // and stay driver-side.
+    val ptrs = OsmPbfScan.scanPointers(files, confS, sc, kindsMask, idMin,
+      idMax, OsmPbfScan.indexScanThreshold(options))
     OsmPbfScan.pack(ptrs, target)
   }
 

@@ -81,24 +81,35 @@ object StreamingGraft {
     val conf = spark.sessionState.newHadoopConf()
     val w = latestSnapshotVersion(deltaDir, conf)
     val tail = deltaBatchIds(deltaDir, conf).filter(_ > w)
+    foldStats(spark, deltaDir, w, tail).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("tile", LongType), StructField("tile_z", IntegerType),
+          StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
+          StructField("n_images", LongType), StructField("n_hits", LongType))))
+    }
+  }
+
+  /** snapshot(v) + additive fold of the PINNED `tail` partition list, or
+    * None when both are absent. The ONE fold implementation, shared by
+    * `rollup` (read path) and `compact` (write path) so the aggregation
+    * shape — and therefore snapshot ≡ folded-deltas equivalence — cannot
+    * drift between them. Callers pass the tail listing explicitly; this
+    * never re-lists (see compact's pinned-listing invariant). */
+  private def foldStats(spark: SparkSession, deltaDir: String, snapshotV: Long,
+      tail: Seq[Long]): Option[DataFrame] = {
     val parts = Seq(
-      if (w >= 0) Some(spark.read.parquet(snapshotPath(deltaDir, w))) else None,
+      if (snapshotV >= 0) Some(spark.read.parquet(snapshotPath(deltaDir, snapshotV))) else None,
       if (tail.nonEmpty)
         Some(spark.read.option("basePath", deltaDir)
           .parquet(tail.map(id => s"$deltaDir/batch_id=$id"): _*)
           .drop("batch_id"))
       else None
     ).flatten
-    if (parts.isEmpty) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("tile", LongType), StructField("tile_z", IntegerType),
-          StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
-          StructField("n_images", LongType), StructField("n_hits", LongType))))
-    } else
-      parts.reduce(_ unionByName _)
-        .groupBy("tile", "tile_z", "tile_x", "tile_y")
-        .agg(sum("n_images").as("n_images"), sum("n_hits").as("n_hits"))
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_ unionByName _)
+      .groupBy("tile", "tile_z", "tile_x", "tile_y")
+      .agg(sum("n_images").as("n_images"), sum("n_hits").as("n_hits")))
   }
 
   /** Fold every delta partition written so far (plus the previous
@@ -150,15 +161,7 @@ object StreamingGraft {
     // foreachBatch callback serializes that in-stream (compactEvery), and
     // out-of-band callers must not run compact while a writer to the SAME
     // delta dir is active.
-    val parts = Seq(
-      if (oldW >= 0) Some(spark.read.parquet(snapshotPath(deltaDir, oldW))) else None,
-      Some(spark.read.option("basePath", deltaDir)
-        .parquet(tail.map(id => s"$deltaDir/batch_id=$id"): _*)
-        .drop("batch_id"))
-    ).flatten
-    parts.reduce(_ unionByName _)
-      .groupBy("tile", "tile_z", "tile_x", "tile_y")
-      .agg(sum("n_images").as("n_images"), sum("n_hits").as("n_hits"))
+    foldStats(spark, deltaDir, oldW, tail).get // tail nonEmpty ⇒ defined
       .write.mode("overwrite").parquet(snapshotPath(deltaDir, newW))
     // GC everything at-or-below the new watermark — including stale
     // partitions a replayed pre-compaction batch rewrote below the OLD

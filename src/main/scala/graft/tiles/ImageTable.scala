@@ -213,6 +213,12 @@ object ImageTable {
     }, PendingHeartbeatMs, PendingHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => {
       exec.shutdownNow()
+      // wait for a mid-flight heartbeat rewrite to drain BEFORE deleting:
+      // shutdownNow alone races — the rewrite can re-create the marker
+      // after the delete, leaving an orphan "live" marker that shields a
+      // nonexistent child from vacuum for a full grace period
+      try exec.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       try fs.delete(marker, false) catch { case _: Exception => () }
     }
   }

@@ -430,6 +430,31 @@ class CodecSpec extends AnyFunSuite with GenSupport {
     assert(seen === 1)
   }
 
+  test("null-ts info round-trips through writer and local reader (no 1970, no NPE)") {
+    import graft.osmpbf.model.{OsmInfo, OsmNode, OsmWay}
+    val path = tmpFile(".pbf")
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val withTs = OsmNode(1L, 1000L, 2000L, 1e-6, 2e-6, Map.empty,
+      Some(OsmInfo(2, ts, 5L, 7, "u", true)), 0L)
+    val nullTs = OsmNode(2L, 3000L, 4000L, 3e-6, 4e-6, Map.empty,
+      Some(OsmInfo(3, null, 6L, 8, "v", true)), 0L) // used to NPE in infoMsg
+    val noInfo = OsmNode(3L, 5000L, 6000L, 5e-6, 6e-6, Map.empty, None, 0L)
+    val way = OsmWay(10L, Seq(1L, 2L), Map.empty,
+      Some(OsmInfo(1, null, 9L, 7, "w", true)), 0L) // sparse infoMsg path
+    val w = PbfWriter(path)
+    Seq(withTs, nullTs, noInfo).foreach(w.addNode)
+    w.addWay(way)
+    w.close()
+    val dec = PbfFile.read(path)
+    val byId = dec.nodes.map(n => n.id -> n.info).toMap
+    assert(byId(1L).get.ts === ts)
+    assert(byId(2L).isDefined && byId(2L).get.ts === null,
+      "null ts must survive the round trip, not become a 1970 epoch")
+    assert(byId(2L).get.version === 3 && byId(2L).get.changeset === 6L)
+    assert(byId(3L).isEmpty)
+    assert(dec.ways.head.info.get.ts === null)
+  }
+
   test("changeset tags survive the local PbfFile reader (Collector parity with Spark rows)") {
     val path = java.nio.file.Files.createTempDirectory("cs").toString + "/cs.osm.pbf"
     val w = graft.osmpbf.codec.PbfWriter(path)

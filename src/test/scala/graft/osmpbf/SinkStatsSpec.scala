@@ -91,8 +91,15 @@ class SinkStatsSpec extends AnyFunSuite with SparkTestBase {
     intercept[java.io.IOException] {
       OsmPbfSink.write(nodes.repartition(2), ways.repartition(1), rels.repartition(1), outDir)
     }
+    // plant a stats sidecar next to a part file the overwrite will replace:
+    // it must not survive to describe the NEW file's blobs
+    val fsDir = new java.io.File(outDir)
+    val firstPart = fsDir.listFiles().map(_.getName).filter(_.startsWith("part-n-")).min
+    val sidecar = new java.io.File(fsDir, firstPart + ".graft-stats.json")
+    java.nio.file.Files.writeString(sidecar.toPath, "{\"stale\":true}")
     OsmPbfSink.write(nodes.repartition(2), ways.repartition(1), rels.repartition(1), outDir,
       overwrite = true)
+    assert(!sidecar.exists(), "stale stats sidecar survived overwrite")
     // the 5-partition run's extra part files must be gone: same row count,
     // not first ∪ second
     assert(spark.read.format("osmpbf").load(outDir).count() === firstCount)
@@ -100,6 +107,25 @@ class SinkStatsSpec extends AnyFunSuite with SparkTestBase {
       .listStatus(new org.apache.hadoop.fs.Path(outDir))
       .map(_.getPath.getName).filter(n => n.startsWith("part-n-")).sorted
     assert(names.length === 2, s"stale node part files survived: ${names.toSeq}")
+  }
+
+  test("sink round-trips rows whose info.ts is NULL (timestamp-less source files)") {
+    import spark.implicits._
+    import graft.osmpbf.model.{OsmInfo, OsmNode, OsmRelation, OsmWay}
+    // exactly what reading a spec-legal timestamp-less PBF now produces:
+    // info present, ts NULL — writing it back must omit the field, not NPE
+    val nodes = spark.createDataset(Seq(
+      OsmNode(1L, 1000L, 2000L, 1e-6, 2e-6, Map.empty[String, String],
+        Some(OsmInfo(2, null, 5L, 7, "u", true)), 0L),
+      OsmNode(2L, 3000L, 4000L, 3e-6, 4e-6, Map.empty[String, String],
+        Some(OsmInfo(1, new java.sql.Timestamp(1700000000000L), 6L, 8, "v", true)), 0L)))
+    val outDir = s"$tmpDir/sink-null-ts"
+    OsmPbfSink.write(nodes, spark.emptyDataset[OsmWay],
+      spark.emptyDataset[OsmRelation], outDir)
+    val back = spark.read.format("osmpbf").load(outDir)
+      .select("id", "info.ts").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(back(1L) === null, "NULL ts must survive the sink round trip")
+    assert(back(2L) !== null)
   }
 
   test("checksum Aggregator is partition-count invariant") {
