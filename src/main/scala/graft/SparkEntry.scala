@@ -7,7 +7,7 @@ import graft.spatial.join.SpatialJoin
 import graft.text.{Dedup, TextAnalysis}
 import graft.tiles.{ImageTable, Tiles}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -382,52 +382,51 @@ object SparkEntry {
     }),
     // ------------------------------------------------- PBF / graft native
     // p1–p4 are `no_oracle` to the driver (DuckDB cannot read .osm.pbf),
-    // so each row is made self-certifying (the e2 pattern): a FULL OUTER
-    // join against the fixture generator's ground truth adds the expected
-    // values and a per-row `ok` verdict. Full, not left: a row the engine
-    // silently DROPPED still surfaces (truth-only → actual columns NULL →
-    // ok=false); a left join from the actual side cannot see absence. On a
-    // correct run both key sets match, so row counts equal the plain query
-    // and the driver's rows check stays stable. No broadcast hint: Spark
-    // cannot broadcast a full outer join, and the truth sides are tiny.
+    // so each row is made self-certifying (the e2 pattern) via [[selfCert]]:
+    // a full outer join against the fixture generator's ground truth adds
+    // the expected values and a per-row `ok` verdict. On a correct run both
+    // key sets match, so row counts equal the plain query and the driver's
+    // rows check stays stable.
     "p1_pbf_counts" -> ((s, dir) => {
       val (path, _) = world(dir)
-      graft.osmpbf.source.OsmPbf.countElements(s, path)
-        .join(p1Truth(s, dir), Seq("kind"), "full")
-        .withColumn("ok", coalesce(col("count") === col("expected"), lit(false)))
+      selfCert(graft.osmpbf.source.OsmPbf.countElements(s, path),
+        p1Truth(s, dir), Seq("kind"),
+        col("count") === col("expected"))
     }),
     "p2_pbf_tag_filter" -> ((s, dir) => {
       val (path, _) = world(dir)
-      graft.osmpbf.source.OsmPbf.nodes(s, path).toDF()
-        .where(map_contains_key(col("tags"), "amenity"))
-        .select(col("id"), element_at(col("tags"), "name").as("name"),
-          col("lat_nd"), col("lon_nd"))
-        .join(p2Truth(s, dir), Seq("id"), "full")
+      selfCert(
+        graft.osmpbf.source.OsmPbf.nodes(s, path).toDF()
+          .where(map_contains_key(col("tags"), "amenity"))
+          .select(col("id"), element_at(col("tags"), "name").as("name"),
+            col("lat_nd"), col("lon_nd")),
+        p2Truth(s, dir), Seq("id"),
         // <=> (null-safe) for name: an amenity node legitimately without a
         // "name" tag is null on BOTH sides — plain === would yield null and
         // the coalesce would mark a byte-perfect decode not-ok
-        .withColumn("ok", coalesce(col("name") <=> col("exp_name") &&
+        col("name") <=> col("exp_name") &&
           col("lat_nd") === col("exp_lat_nd") &&
-          col("lon_nd") === col("exp_lon_nd"), lit(false)))
-        .drop("exp_name", "exp_lat_nd", "exp_lon_nd")
+          col("lon_nd") === col("exp_lon_nd"),
+        dropCols = Seq("exp_name", "exp_lat_nd", "exp_lon_nd"))
     }),
     "p3_way_assembly" -> ((s, dir) => {
       val (nodes, ways, _) = osmTables(s, dir)
-      graft.spatial.geom.Assembly.wayGeometries(nodes, ways)
-        .select(col("id"), size(col("pts")).as("n_pts"), col("closed"))
-        .join(p3Truth(s, dir), Seq("id"), "full")
-        .withColumn("ok", coalesce(col("n_pts") === col("exp_n_pts") &&
-          col("closed") === col("exp_closed"), lit(false)))
-        .drop("exp_n_pts", "exp_closed")
+      selfCert(
+        graft.spatial.geom.Assembly.wayGeometries(nodes, ways)
+          .select(col("id"), size(col("pts")).as("n_pts"), col("closed")),
+        p3Truth(s, dir), Seq("id"),
+        col("n_pts") === col("exp_n_pts") && col("closed") === col("exp_closed"),
+        dropCols = Seq("exp_n_pts", "exp_closed"))
     }),
     "p4_polygons" -> ((s, dir) => {
-      polygons(s, dir).select(col("src"), col("id"), size(col("rings")).as("n_rings"),
-        col("bbox.min_lon"), col("bbox.max_lat"))
-        .join(p4Truth(s, dir), Seq("src", "id"), "full")
-        .withColumn("ok", coalesce(col("n_rings") === col("exp_n_rings") &&
+      selfCert(
+        polygons(s, dir).select(col("src"), col("id"), size(col("rings")).as("n_rings"),
+          col("bbox.min_lon"), col("bbox.max_lat")),
+        p4Truth(s, dir), Seq("src", "id"),
+        col("n_rings") === col("exp_n_rings") &&
           col("min_lon") === col("exp_min_lon") &&
-          col("max_lat") === col("exp_max_lat"), lit(false)))
-        .drop("exp_n_rings", "exp_min_lon", "exp_max_lat")
+          col("max_lat") === col("exp_max_lat"),
+        dropCols = Seq("exp_n_rings", "exp_min_lon", "exp_max_lat"))
     }),
     "p5_graft_join" -> ((s, dir) => {
       GraftJob.joinRows(images(s, dir), polygons(s, dir), z = 10, res = 12, mode = "salted")
@@ -467,6 +466,21 @@ object SparkEntry {
         .where(col("psnr_db") >= 40.0 && col("caption_ok") && col("phash_ok"))
     })
   )
+
+  /** Self-certification wrapper for `no_oracle` queries: full outer join
+    * of the actual output against fixture ground truth plus a per-row `ok`
+    * verdict. FULL, not left: a row the engine silently DROPPED still
+    * surfaces (truth-only → actual columns NULL → `okExpr` yields NULL →
+    * coalesce false); a left join from the actual side cannot see absence.
+    * Fabricated extras surface symmetrically (expected columns NULL). No
+    * broadcast hint: Spark cannot broadcast a full outer join, and the
+    * truth sides are tiny. EntrySelfCertSpec drives the dropped-row and
+    * extra-row paths directly. */
+  private[graft] def selfCert(actual: DataFrame, truth: DataFrame,
+      keys: Seq[String], okExpr: Column, dropCols: Seq[String] = Nil): DataFrame =
+    actual.join(truth, keys, "full")
+      .withColumn("ok", coalesce(okExpr, lit(false)))
+      .drop(dropCols: _*)
 
   /** DuckDB-runnable equivalents (same column names; sorted-by-name hash
     * compare). Entries absent here are rows-only checked by the driver. */

@@ -25,4 +25,27 @@ class EntrySelfCertSpec extends AnyFunSuite with SparkTestBase {
       } finally df.unpersist()
     }
   }
+
+  test("the verdict machinery actually FIRES: dropped and fabricated rows surface as ok=false") {
+    // the loop above only proves green-stays-green; this proves the
+    // mechanism can fail — an engine that DROPS a row (truth-only after the
+    // full join) or FABRICATES one (actual-only) must yield ok=false rows,
+    // never silently shrink or pass
+    import spark.implicits._
+    val truth = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "expected")
+    val dropped = Seq((1L, 10), (3L, 30)).toDF("id", "actual")         // engine lost id=2
+    val fabricated = Seq((1L, 10), (2L, 20), (3L, 30), (9L, 90)).toDF("id", "actual")
+    val wrong = Seq((1L, 10), (2L, 99), (3L, 30)).toDF("id", "actual") // wrong value
+
+    val d = SparkEntry.selfCert(dropped, truth, Seq("id"), col("actual") === col("expected"))
+    assert(d.count() === 3, "dropped row must still SURFACE via the full join")
+    assert(d.where(!col("ok")).select("id").as[Long].collect().toSet === Set(2L))
+
+    val f = SparkEntry.selfCert(fabricated, truth, Seq("id"), col("actual") === col("expected"))
+    assert(f.count() === 4)
+    assert(f.where(!col("ok")).select("id").as[Long].collect().toSet === Set(9L))
+
+    val w = SparkEntry.selfCert(wrong, truth, Seq("id"), col("actual") === col("expected"))
+    assert(w.where(!col("ok")).select("id").as[Long].collect().toSet === Set(2L))
+  }
 }
