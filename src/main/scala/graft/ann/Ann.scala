@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Cosine similarity of two ARRAY<FLOAT/DOUBLE> columns as a pure
-    * Catalyst expression (codegen; no UDF). */
+    * Catalyst expression (codegen; no UDF). NULL (not an error) against a
+    * zero-norm vector: under ANSI mode — Spark 4's DEFAULT — a plain `/`
+    * THROWS on a zero divisor even for doubles, so one dead embedding in a
+    * 100-TB corpus would crash the whole job; `try_divide` keeps the
+    * function total and identical to `/` for every non-degenerate input.
+    * Callers rank the NULL deliberately (desc ordering puts it last;
+    * centroid assignment pins it below any real cosine). */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
+    try_divide(dot, na * nb)
   }
 
   /** Exact top-k cosine neighbours for each query vector.
@@ -87,6 +93,9 @@ object Ann {
     * the named observe() (Dedup.guardMetrics). */
   private[graft] def capBuckets(df: DataFrame, keyCols: Seq[String], idCol: String,
       cap: Int, guardName: String): DataFrame = {
+    // fail fast at plan time: cap = 0 would reach the ANSI-throwing `/ cap`
+    // mid-job with an opaque DIVIDE_BY_ZERO instead of this message
+    require(cap > 0, s"bucket cap must be positive, got $cap")
     val oversize = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > cap)
       .observe(guardName, graft.text.Dedup.guardMetrics.head,
@@ -225,8 +234,8 @@ object Ann {
     * and per query — the round-4 verdict's last hot-path UDFs). */
   private def centroidSims(centroids: Array[(Int, Array[Float])], vec: Column): Column =
     transform(centroidsLit(centroids),
-      // cosine is NULL against a zero-norm vector (Divide by 0 → NULL, not
-      // NaN): pin it to -2 (below any real cosine) so a degenerate centroid
+      // cosine is NULL against a zero-norm vector (try_divide — ANSI mode
+      // would THROW on a plain /): pin it to -2 (below any real cosine) so a degenerate centroid
       // ranks LAST everywhere — array_sort would otherwise order the null
       // struct field FIRST and make it every query's top probe, silently
       // burning one of nProbe probes
@@ -234,14 +243,20 @@ object Ann {
         c.getField("i").as("i")))
 
   /** argmax_i cosine(vec, centroid_i), ties to the lower index (a single
-    * `aggregate` fold — no sort of the k-array per row). */
-  private def nearestCentroidExpr(centroids: Array[(Int, Array[Float])], vec: Column): Column =
-    aggregate(centroidSims(centroids, vec),
+    * `aggregate` fold — no sort of the k-array per row). A best sim of -2
+    * means EVERY cosine was degenerate (zero-norm input vector) — such rows
+    * keep the unreachable cell -1 so Lloyd training ignores them, as the
+    * pre-pinning null semantics did; mapping them to cell 0 would drag
+    * centroid 0's per-dimension means toward the origin every iteration.
+    * Real cosines live in [-1, 1], so -2 is unambiguous. */
+  private def nearestCentroidExpr(centroids: Array[(Int, Array[Float])], vec: Column): Column = {
+    val best = aggregate(centroidSims(centroids, vec),
       struct(lit(Double.MinValue).as("sim"), lit(-1).as("i")),
       (acc, s) => when(s.getField("sim") > acc.getField("sim") ||
           (s.getField("sim") === acc.getField("sim") && s.getField("i") < acc.getField("i")), s)
         .otherwise(acc))
-      .getField("i")
+    when(best.getField("sim") <= lit(-2.0d), lit(-1)).otherwise(best.getField("i"))
+  }
 
   /** The `nProbe` centroid indices closest to `vec` (sim desc, index asc). */
   private def topCentroidsExpr(centroids: Array[(Int, Array[Float])], nProbe: Int,

@@ -29,6 +29,17 @@ object OsmPbfSink {
       val tc = TaskContext.get()
       val pid = tc.partitionId()
       val fileName = f"part-$kind-$pid%05d.osm.pbf"
+      // committing a part file invalidates any same-named sidecar from a
+      // previous run, so drop it HERE (every creation path) — the driver's
+      // overwrite branch alone leaves a hole: a crash between its part-file
+      // and sidecar deletes, or a fresh write into a dir whose old part file
+      // already vanished, pairs the OLD run's counts/zone maps with the new
+      // bytes (loadSidecar's only staleness guard is byte-size equality).
+      // Deleted BEFORE the write so no crash window exists after commit; a
+      // lost temp-file race never re-deletes (losers skip straight to keep).
+      try HadoopIO.fileSystem(dir, conf.value)
+        .delete(new org.apache.hadoop.fs.Path(dir, fileName + ".graft-stats.json"), false)
+      catch { case _: Exception => () }
       HadoopIO.writeAtomic(dir, fileName, conf.value, tc.taskAttemptId()) { out =>
         val w = new PbfWriter(new java.io.BufferedOutputStream(out, 1 << 16),
           granularity = granularity, compress = compress)
@@ -66,13 +77,13 @@ object OsmPbfSink {
             "pass overwrite=true to replace them (mixing would corrupt directory reads)")
         stale.foreach { s =>
           fs.delete(s.getPath, false)
-          // a stale `.graft-stats.json` sidecar next to a same-named new
-          // part file would feed the OLD run's blob counts/id zone maps
-          // into pushdown pruning (its only staleness guard is byte-size
-          // equality — a size collision silently prunes live blobs)
-          val sidecar = new org.apache.hadoop.fs.Path(
-            s.getPath.getParent, s.getPath.getName + ".graft-stats.json")
-          if (fs.exists(sidecar)) fs.delete(sidecar, false)
+          // drop the orphaned sidecar with its part file (tasks also delete
+          // same-named sidecars at commit — see writePartition — but parts
+          // the new run does NOT reproduce would leave theirs behind).
+          // No exists() pre-check: delete on a missing path returns false
+          // without throwing, and the extra HEAD doubles S3A round trips.
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s.getPath.getParent, s.getPath.getName + ".graft-stats.json"), false)
         }
       }
     }

@@ -302,7 +302,9 @@ object OsmPbfScan {
   def scanPointers(paths: Seq[String], confS: graft.util.SerializableHadoopConf,
       sc: => org.apache.spark.SparkContext, kindsMask: Int, idMin: Long,
       idMax: Long, threshold: Int): Seq[BlobPointer] =
-    if (paths.size >= threshold) {
+    if (paths.isEmpty) Nil // a user threshold <= 0 would otherwise reach
+    // parallelize(Nil, 0), which rejects non-positive slice counts
+    else if (paths.size >= threshold) {
       // capture only primitives + the serializable conf — never a Scan/Stream
       val cs = confS
       val (km, lo, hi) = (kindsMask, idMin, idMax)

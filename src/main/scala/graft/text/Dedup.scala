@@ -121,6 +121,9 @@ object Dedup {
     * absent metric therefore means zero, never "unmeasured". */
   private[graft] def subBucketed(banded: DataFrame, bandCols: Seq[String], idCol: String,
       cap: Int, guardName: String): (DataFrame, Seq[String]) = {
+    // fail fast at plan time: cap = 0 would reach the ANSI-throwing `/ cap`
+    // mid-job with an opaque DIVIDE_BY_ZERO instead of this message
+    require(cap > 0, s"bucket cap must be positive, got $cap")
     val keys = bandCols.map(col)
     val oversize = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > cap)

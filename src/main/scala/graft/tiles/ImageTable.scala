@@ -200,6 +200,7 @@ object ImageTable {
       t.setDaemon(true)
       t
     })
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     exec.scheduleAtFixedRate(() => {
       // refresh by REWRITING the marker: Hadoop's base FileSystem.setTimes
       // is a silent no-op (and object stores like S3A don't override it),
@@ -207,16 +208,25 @@ object ImageTable {
       // live multi-hour append as crashed — exactly the 100-TB scenario
       // this marker exists for. Nobody reads the marker's CONTENT (vacuum
       // keys on mtime/existence), so a rewrite needs no atomicity.
-      try graft.util.HadoopIO.writeString(marker.toString,
-        s"in-flight ${System.currentTimeMillis()}", conf)
-      catch { case _: Exception => () }
+      if (!closed.get) {
+        try {
+          graft.util.HadoopIO.writeString(marker.toString,
+            s"in-flight ${System.currentTimeMillis()}", conf)
+          // close() may have deleted the marker while this rewrite was in
+          // flight (drain timeout / interrupt — it cannot wait forever on a
+          // store retry storm); the re-check undoes our own re-creation so
+          // an orphan "live" marker never shields a nonexistent child
+          if (closed.get) fs.delete(marker, false)
+        } catch { case _: Exception => () }
+      }
     }, PendingHeartbeatMs, PendingHeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => {
+      closed.set(true)
       exec.shutdownNow()
-      // wait for a mid-flight heartbeat rewrite to drain BEFORE deleting:
-      // shutdownNow alone races — the rewrite can re-create the marker
-      // after the delete, leaving an orphan "live" marker that shields a
-      // nonexistent child from vacuum for a full grace period
+      // wait for a mid-flight heartbeat rewrite to drain BEFORE deleting;
+      // if the drain times out (or this thread is interrupted) the delete
+      // still runs, and the stalled rewrite's own post-write `closed`
+      // re-check above cleans up whichever write lands last
       try exec.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
       catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       try fs.delete(marker, false) catch { case _: Exception => () }

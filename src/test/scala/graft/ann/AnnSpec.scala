@@ -156,6 +156,32 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(again === approx)
   }
 
+  test("zero-norm corpus vectors train as cell -1: centroids never drift to the origin") {
+    import spark.implicits._
+    // a tight cluster far from the origin plus many dead (all-zero)
+    // embeddings. Their cosine is NULL → pinned to -2 for every centroid;
+    // the argmax must map that to the unreachable cell -1, NOT tie-break to
+    // cell 0 — otherwise 50 zero vectors drag centroid 0's per-dimension
+    // means toward the origin on every Lloyd iteration
+    val dims = 8
+    val cluster = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => if (d == 0) 10f else 0.1f * ((i + d) % 3)).toSeq)
+    }
+    val zeros = (100 until 150).map(i => (i.toLong, Seq.fill(dims)(0f)))
+    val mixed = (cluster ++ zeros).toDF("c_id", "c_vec")
+    val cents = Ann.trainIvfCentroids(mixed, nCells = 2, iters = 3)
+    cents.foreach { case (i, c) =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(norm > 5.0, s"centroid $i dragged toward origin (norm $norm)")
+    }
+    // end-to-end: dead vectors never surface in top-k (null cosine ranks last)
+    val qs = Seq((1000L, Array.tabulate(dims)(d => if (d == 0) 9f else 0.1f).toSeq))
+      .toDF("q_id", "q_vec")
+    val res = Ann.ivfTopK(qs, mixed, k = 3, nCells = 2, nProbe = 2, iters = 3).collect()
+    assert(res.length === 3)
+    assert(res.forall(_.getLong(1) < 100L), "zero-norm vector surfaced in top-k")
+  }
+
   test("near-duplicate pairs finds planted duplicate") {
     import spark.implicits._
     // plant an exact duplicate of vec 0 with id 100000

@@ -109,6 +109,25 @@ class SinkStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(names.length === 2, s"stale node part files survived: ${names.toSeq}")
   }
 
+  test("part-file commit deletes an orphan same-named sidecar (no overwrite branch)") {
+    import spark.implicits._
+    // the overwrite branch never runs here: the target holds NO part files,
+    // only a leftover sidecar whose part file is already gone (crash between
+    // part-file and sidecar delete, or external cleanup). The new write's
+    // task-level commit must drop it — otherwise the OLD run's counts/zone
+    // maps describe the NEW bytes whenever the sizes happen to collide.
+    val outDir = s"$tmpDir/sink-orphan-sidecar"
+    new java.io.File(outDir).mkdirs()
+    val orphan = new java.io.File(outDir, "part-n-00000.osm.pbf.graft-stats.json")
+    java.nio.file.Files.writeString(orphan.toPath, "{\"stale\":true}")
+    val nodes = OsmPbf.nodes(spark, pbfPath)
+    OsmPbfSink.write(nodes.repartition(1),
+      spark.emptyDataset[graft.osmpbf.model.OsmWay],
+      spark.emptyDataset[graft.osmpbf.model.OsmRelation], outDir)
+    assert(!orphan.exists(), "orphan sidecar survived a same-named part-file commit")
+    assert(new java.io.File(outDir, "part-n-00000.osm.pbf").exists())
+  }
+
   test("sink round-trips rows whose info.ts is NULL (timestamp-less source files)") {
     import spark.implicits._
     import graft.osmpbf.model.{OsmInfo, OsmNode, OsmRelation, OsmWay}
