@@ -43,9 +43,14 @@ object OsmReplication {
   }
 
   /** Extract the osmosis sequence number from a diff file path
-    * (`.../<seq>.osm.pbf`). */
+    * (`.../<seq>.osm.pbf`). NULL — not an error — for a path without a
+    * numeric prefix (a foreign file dropped into the replication dir):
+    * regexp_extract yields '' on no-match, and under ANSI mode (Spark 4's
+    * default) cast('' as long) THROWS, so one stray file would crash the
+    * whole diff stream. Null-seq rows rank below every real seq in
+    * [[applyDiffs]]'s version/seq window (desc ordering puts nulls last). */
   def seqOfFile(fileCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_extract(fileCol, """(\d+)\.osm\.pbf$""", 1).cast("long")
+    nullif(regexp_extract(fileCol, """(\d+)\.osm\.pbf$""", 1), lit("")).cast("long")
 
   /** Streaming view of a replication directory: one row per element per
     * diff file, with its sequence number. Feed into `foreachBatch` with

@@ -219,6 +219,9 @@ object SpatialJoin {
       val degToRad = math.Pi / 180.0
       val stats = grouped
         .withColumn("n", size(col("topk")).cast("long"))
+        // topk is non-empty by construction — groups exist only for points
+        // that matched ≥1 candidate in the inner probe join above — so the
+        // -1 (last-element) access can't hit ANSI's empty-array error
         .withColumn("dk", element_at(col("topk"), -1).getField("dist"))
         .withColumn("safe", {
           if (coversAll) col("n") >= 1L

@@ -171,4 +171,15 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
       assert(OsmPbfOffset.fromJson(off.json()) === off, s"path <$p>")
     }
   }
+
+  test("seqOfFile: NULL for a foreign file name, not an ANSI cast error") {
+    import spark.implicits._
+    // regexp_extract yields '' on no-match; under ANSI (Spark 4 default)
+    // cast('' as long) throws — one stray file in the replication dir must
+    // not crash the diff stream
+    val rows = Seq("/rep/000000042.osm.pbf", "/rep/state.osm.pbf", "/rep/readme.txt")
+      .toDF("f").select(OsmReplication.seqOfFile(col("f")).as("s")).collect()
+    assert(rows(0).getLong(0) === 42L)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
 }
