@@ -110,17 +110,40 @@ object OsmPbfSource {
     try kindsMaskOf(kind) catch { case _: IllegalArgumentException => 0 }
 
   /** Expand a path option into concrete .pbf file paths (dir → children). */
-  def resolvePaths(pathOpt: String, conf: Configuration): Seq[String] = {
+  def resolvePaths(pathOpt: String, conf: Configuration): Seq[String] =
+    resolvePaths(pathOpt, conf, None)
+
+  /** `namePattern`: an optional regex applied to each file NAME (not the
+    * full path). A directory entry or glob match whose name fails the
+    * pattern is invisible to the source — critical for the replication
+    * stream, whose offset is the lexically-largest path seen: a foreign
+    * file (`state.osm.pbf`, a stray backup) admitted into the listing
+    * would be committed as the offset and permanently wedge the stream
+    * above every zero-padded numeric diff name. Filtering at the listing
+    * is the only altitude that protects offsets, partitions, and rows at
+    * once. */
+  def resolvePaths(pathOpt: String, conf: Configuration,
+      namePattern: Option[String]): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(pathOpt)
     val fs = p.getFileSystem(conf)
     val stat = fs.globStatus(p)
     if (stat == null || stat.isEmpty) throw new java.io.FileNotFoundException(pathOpt)
+    val re = namePattern.map(_.r) // bad regex fails HERE, at plan time
+    def keep(name: String): Boolean = re.forall(_.findFirstIn(name).isDefined)
     stat.toSeq.flatMap { s =>
       if (s.isDirectory)
-        fs.listStatus(s.getPath).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".pbf")).map(_.getPath.toString)
-      else Seq(s.getPath.toString)
+        fs.listStatus(s.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".pbf") && keep(f.getPath.getName))
+          .map(_.getPath.toString)
+      else if (keep(s.getPath.getName)) Seq(s.getPath.toString)
+      else Nil
     }
   }
+
+  /** The `fileNamePattern` option shared by the batch and streaming
+    * planners (same listing semantics in both). */
+  def fileNamePattern(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("fileNamePattern"))
 }
 
 class OsmPbfTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead
@@ -209,7 +232,8 @@ class OsmPbfScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
   // shared by partition planning AND statistics reporting — the stats must
   // not cost a second index scan.
   private lazy val scannedPointers: Seq[BlobPointer] = {
-    val paths = OsmPbfSource.resolvePaths(options.get("path"), confS.value)
+    val paths = OsmPbfSource.resolvePaths(options.get("path"), confS.value,
+      OsmPbfSource.fileNamePattern(options))
     OsmPbfScan.scanPointers(paths, confS,
       org.apache.spark.sql.SparkSession.active.sparkContext,
       kindsMask, idMin, idMax, OsmPbfScan.indexScanThreshold(options))
@@ -410,7 +434,8 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
   private val sc = org.apache.spark.sql.SparkSession.active.sparkContext
 
   private def listFiles(): Seq[String] =
-    try OsmPbfSource.resolvePaths(options.get("path"), confS.value).sorted
+    try OsmPbfSource.resolvePaths(options.get("path"), confS.value,
+      OsmPbfSource.fileNamePattern(options)).sorted
     catch { case _: java.io.FileNotFoundException => Nil } // dir not created yet
 
   override def initialOffset(): Offset = OsmPbfOffset("")

@@ -55,9 +55,22 @@ object OsmReplication {
   /** Streaming view of a replication directory: one row per element per
     * diff file, with its sequence number. Feed into `foreachBatch` with
     * [[applyDiffs]] (or any incremental sink) and a checkpointLocation for
-    * crash/resume. */
+    * crash/resume.
+    *
+    * Only files named `<seq>.osm.pbf` are visible to the stream
+    * (`fileNamePattern`): the source's offset is the lexically-largest
+    * path processed, so an admitted foreign file (`state.osm.pbf`, a
+    * stray backup — any alphabetic name sorts above every zero-padded
+    * diff) would be committed into the checkpoint as the offset and
+    * silently wedge the stream above all future diffs; it would also
+    * merge non-diff rows into [[applyDiffs]] state, where a higher
+    * info.version wins regardless of seq. Filtering the listing keeps
+    * foreign files out of offsets, partitions, and rows at once — seq is
+    * then always non-null here (seqOfFile's NULL branch remains for
+    * batch callers reading unfiltered directories). */
   def diffStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("osmpbf").option("withFile", "true").load(dir)
+    spark.readStream.format("osmpbf").option("withFile", "true")
+      .option("fileNamePattern", """^\d+\.osm\.pbf$""").load(dir)
       .withColumn("seq", seqOfFile(col("_file")))
       .drop("_file")
 }

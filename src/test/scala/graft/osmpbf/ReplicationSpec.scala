@@ -172,6 +172,47 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a foreign file in the replication dir neither wedges the stream nor leaks rows") {
+    // the offset is the lexically-largest path processed; an alphabetic
+    // name ('state.osm.pbf') sorts above every zero-padded diff, so if the
+    // listing admitted it, the checkpoint would commit it as the offset and
+    // every later numeric diff would be skipped forever — silent,
+    // checkpoint-persisted data loss. fileNamePattern must keep it out of
+    // offsets, partitions, AND rows.
+    val dir = s"$tmpDir/replication/foreign-diffs"
+    val ckpt = s"$tmpDir/replication/foreign-ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (seq, id)
+
+    writeDiff(dir, 1L, Seq(node(10L, 1, "a")))
+    writePbf(s"$dir/state.osm.pbf", Seq(node(99L, 9, "foreign"))) // higher version!
+
+    def runOnce(): Unit = {
+      val q = OsmReplication.diffStream(spark, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= df.select("seq", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(seen.sorted === Seq((1L, 10L)), "foreign rows leaked into the stream")
+
+    // the regression: a diff arriving AFTER the foreign file must still be
+    // processed on restart — the committed offset must not be the foreign
+    // path sorting above every numeric name
+    writeDiff(dir, 2L, Seq(node(11L, 1, "b")))
+    seen.clear()
+    runOnce()
+    assert(seen.sorted === Seq((2L, 11L)), "stream wedged above the foreign offset")
+  }
+
   test("seqOfFile: NULL for a foreign file name, not an ANSI cast error") {
     import spark.implicits._
     // regexp_extract yields '' on no-match; under ANSI (Spark 4 default)
