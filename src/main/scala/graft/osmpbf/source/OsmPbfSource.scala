@@ -113,14 +113,17 @@ object OsmPbfSource {
   def resolvePaths(pathOpt: String, conf: Configuration): Seq[String] =
     resolvePaths(pathOpt, conf, None)
 
-  /** `namePattern`: an optional regex applied to each file NAME (not the
-    * full path). A directory entry or glob match whose name fails the
-    * pattern is invisible to the source — critical for the replication
-    * stream, whose offset is the lexically-largest path seen: a foreign
-    * file (`state.osm.pbf`, a stray backup) admitted into the listing
-    * would be committed as the offset and permanently wedge the stream
-    * above every zero-padded numeric diff name. Filtering at the listing
-    * is the only altitude that protects offsets, partitions, and rows at
+  /** `namePattern`: an optional regex that must match the ENTIRE file
+    * NAME (not the full path; full-match, not substring-find — a
+    * substring rule would let `old-000000001.osm.pbf` slip past an
+    * unanchored user pattern and recreate the very hazard below). A
+    * directory entry or glob match whose name fails the pattern is
+    * invisible to the source — critical for the replication stream,
+    * whose offset is the lexically-largest path seen: a foreign file
+    * (`state.osm.pbf`, a stray backup) admitted into the listing would
+    * be committed as the offset and permanently wedge the stream above
+    * every zero-padded numeric diff name. Filtering at the listing is
+    * the only altitude that protects offsets, partitions, and rows at
     * once. */
   def resolvePaths(pathOpt: String, conf: Configuration,
       namePattern: Option[String]): Seq[String] = {
@@ -129,7 +132,7 @@ object OsmPbfSource {
     val stat = fs.globStatus(p)
     if (stat == null || stat.isEmpty) throw new java.io.FileNotFoundException(pathOpt)
     val re = namePattern.map(_.r) // bad regex fails HERE, at plan time
-    def keep(name: String): Boolean = re.forall(_.findFirstIn(name).isDefined)
+    def keep(name: String): Boolean = re.forall(_.matches(name))
     stat.toSeq.flatMap { s =>
       if (s.isDirectory)
         fs.listStatus(s.getPath).toSeq
@@ -450,6 +453,23 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[OsmPbfOffset].lastFile
     val hi = end.asInstanceOf[OsmPbfOffset].lastFile
+    // A committed offset whose NAME fails the active fileNamePattern comes
+    // from a checkpoint written before the pattern existed (or with a
+    // different one) — e.g. a foreign `state.osm.pbf` committed as the
+    // lexical-max offset pre-filter. The filtered listing now sorts BELOW
+    // it, so `p > lo` skips the whole backlog forever. The source cannot
+    // rewrite a committed offset (exactly-once would be voided for
+    // non-idempotent sinks), but it must not be silent about it.
+    OsmPbfSource.fileNamePattern(options).map(_.r).foreach { r =>
+      // lo is "" on the very first batch — Path("") is unconstructible
+      if (lo.nonEmpty && !r.matches(new org.apache.hadoop.fs.Path(lo).getName))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"osmpbf stream: committed offset '$lo' does not match " +
+            s"fileNamePattern '${r.regex}' — it predates the pattern and sorts " +
+            "above the filtered listing, so pending files below it will be " +
+            "SKIPPED. Recover by restarting with a fresh checkpointLocation " +
+            "(applyDiffs-style merges are idempotent under replay).")
+    }
     val files = listFiles().filter(p => p > lo && p <= hi)
     // Shared scan with the batch planner: a stream started against a large
     // BACKLOG (thousands of queued diff files) distributes the frame scan

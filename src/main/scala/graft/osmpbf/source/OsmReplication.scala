@@ -32,8 +32,17 @@ object OsmReplication {
     */
   def applyDiffs(base: DataFrame, diffs: DataFrame): DataFrame = {
     val cols = base.columns.filter(_ != "seq")
+    // a NULL seq marks a row from a file that is NOT a replication diff
+    // (seqOfFile on a foreign name) — drop it rather than merge it: the
+    // window below ranks by version FIRST, so a foreign file carrying
+    // higher element versions (a stray newer extract, a backup) would
+    // otherwise win the merge — including its visible=false rows, which
+    // silently delete elements. diffStream's listing filter keeps such
+    // files out of the stream; this guard covers BATCH callers reading an
+    // unfiltered directory.
     val all = base.withColumn("seq", lit(-1L))
-      .unionByName(diffs.select((cols.map(col) :+ col("seq")): _*))
+      .unionByName(diffs.where(col("seq").isNotNull)
+        .select((cols.map(col) :+ col("seq")): _*))
     val w = Window.partitionBy(col("kind"), col("id"))
       .orderBy(coalesce(col("info.version"), lit(0)).desc, col("seq").desc)
     all

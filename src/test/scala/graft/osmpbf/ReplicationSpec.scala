@@ -213,6 +213,42 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
     assert(seen.sorted === Seq((2L, 11L)), "stream wedged above the foreign offset")
   }
 
+  test("applyDiffs drops null-seq rows: a foreign file cannot win the batch merge") {
+    // BATCH callers follow the module recipe — read the directory
+    // unfiltered, derive seq from _file — so a foreign file's rows reach
+    // applyDiffs with seq = NULL. The merge window ranks by version FIRST,
+    // so a higher-version foreign row (worse: visible=false) would beat
+    // the real state if the null-seq guard did not drop it.
+    val dir = s"$tmpDir/replication/nullseq-batch"
+    writeDiff(dir, 1L, Seq(node(2L, 2, "v2-2")))
+    // foreign: would DELETE node 1 at version 9 if merged
+    writePbf(s"$dir/state.osm.pbf", Seq(node(1L, 9, "foreign-delete", visible = false)))
+    val base = spark.read.format("osmpbf").load(baseDir)
+    val diffs = spark.read.format("osmpbf").load(dir)
+      .withColumn("seq", OsmReplication.seqOfFile(col("_file"))).drop("_file")
+    val merged = OsmReplication.applyDiffs(base, diffs)
+      .select("id", "tags", "info.version").collect()
+      .map(r => r.getLong(0) -> ((r.getMap[String, String](1)("name"), r.getInt(2)))).toMap
+    assert(merged.keySet === Set(1L, 2L, 3L, 4L, 5L), "foreign visible=false row deleted node 1")
+    assert(merged(1L) === (("v1-1", 1)), "foreign higher-version row won the merge")
+    assert(merged(2L) === (("v2-2", 2)), "real diff row must still apply")
+  }
+
+  test("fileNamePattern is full-match: an unanchored pattern cannot admit prefixed names") {
+    val dir = s"$tmpDir/replication/fullmatch"
+    new java.io.File(dir).mkdirs()
+    writePbf(s"$dir/000000001.osm.pbf", Seq(node(1L, 1, "a")))
+    writePbf(s"$dir/old-000000001.osm.pbf", Seq(node(2L, 1, "b")))
+    val conf = spark.sessionState.newHadoopConf()
+    // the natural unanchored form a user would write — substring-find would
+    // let 'old-000000001.osm.pbf' through (and it sorts above every numeric
+    // name, recreating the offset wedge the option exists to prevent)
+    val got = graft.osmpbf.source.OsmPbfSource
+      .resolvePaths(dir, conf, Some("""\d+\.osm\.pbf"""))
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    assert(got === Seq("000000001.osm.pbf"), s"unanchored pattern admitted: $got")
+  }
+
   test("seqOfFile: NULL for a foreign file name, not an ANSI cast error") {
     import spark.implicits._
     // regexp_extract yields '' on no-match; under ANSI (Spark 4 default)
