@@ -133,15 +133,36 @@ object OsmPbfSource {
     if (stat == null || stat.isEmpty) throw new java.io.FileNotFoundException(pathOpt)
     val re = namePattern.map(_.r) // bad regex fails HERE, at plan time
     def keep(name: String): Boolean = re.forall(_.matches(name))
-    stat.toSeq.flatMap { s =>
+    var candidates = 0
+    val out = stat.toSeq.flatMap { s =>
       if (s.isDirectory)
         fs.listStatus(s.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".pbf") && keep(f.getPath.getName))
-          .map(_.getPath.toString)
-      else if (keep(s.getPath.getName)) Seq(s.getPath.toString)
-      else Nil
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".pbf"))
+          .flatMap { f =>
+            candidates += 1
+            if (keep(f.getPath.getName)) Some(f.getPath.toString) else None
+          }
+      else {
+        candidates += 1
+        if (keep(s.getPath.getName)) Seq(s.getPath.toString) else Nil
+      }
     }
+    // a pattern rejecting EVERY candidate is almost always a misconfigured
+    // regex (e.g. a substring-style pattern written for find semantics) —
+    // without this, a batch read silently returns zero rows and a stream
+    // never produces a batch. Warned once per (path, pattern) per process,
+    // not per trigger.
+    if (re.isDefined && candidates > 0 && out.isEmpty &&
+        warnedEmptyFilter.add(s"$pathOpt|${namePattern.get}"))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"osmpbf: fileNamePattern '${namePattern.get}' rejected all $candidates " +
+          s".pbf file(s) under '$pathOpt' — the pattern must match the ENTIRE " +
+          "file name; reads will return zero rows until it matches something.")
+    out
   }
+
+  private val warnedEmptyFilter =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The `fileNamePattern` option shared by the batch and streaming
     * planners (same listing semantics in both). */
@@ -436,40 +457,63 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
   // happens to plan micro-batches on
   private val sc = org.apache.spark.sql.SparkSession.active.sparkContext
 
+  private val namePatternRe = OsmPbfSource.fileNamePattern(options).map(_.r)
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def listFiles(): Seq[String] =
     try OsmPbfSource.resolvePaths(options.get("path"), confS.value,
       OsmPbfSource.fileNamePattern(options)).sorted
     catch { case _: java.io.FileNotFoundException => Nil } // dir not created yet
 
+  // The largest offset this stream has SEEN — committed (via
+  // deserializeOffset on resume) or planned. latestOffset never returns
+  // below it: with a transiently-empty filtered listing (files deleted, or
+  // a pattern edit matching nothing) a bare listing-max would regress the
+  // offset to "", commit it through an empty batch, and the eventual
+  // recovery would re-admit EVERY previously-processed file (`p > ""`) —
+  // a full silent replay into possibly non-idempotent sinks.
+  @volatile private var maxSeenOffset: String = ""
+  private def noteSeen(lastFile: String): Unit =
+    if (lastFile > maxSeenOffset) maxSeenOffset = lastFile
+
   override def initialOffset(): Offset = OsmPbfOffset("")
 
   override def latestOffset(): Offset = {
     val fs = listFiles()
-    OsmPbfOffset(if (fs.isEmpty) "" else fs.last)
+    if (fs.nonEmpty) noteSeen(fs.last)
+    OsmPbfOffset(maxSeenOffset)
   }
 
-  override def deserializeOffset(json: String): Offset = OsmPbfOffset.fromJson(json)
+  @volatile private var warnedForeignOffset = false
+  override def deserializeOffset(json: String): Offset = {
+    val off = OsmPbfOffset.fromJson(json)
+    // A committed offset whose NAME fails the active fileNamePattern comes
+    // from a checkpoint written before the pattern existed (or with a
+    // different one) — e.g. a foreign `state.osm.pbf` committed as the
+    // lexical-max offset pre-filter. The source cannot rewrite a committed
+    // offset (exactly-once would be voided for non-idempotent sinks), but
+    // it must not be silent: files sorting below it are not picked up
+    // while it remains the committed offset. Checked here — the one place
+    // a checkpointed offset re-enters the stream — and latched, so a
+    // triggering stream warns once, not once per micro-batch.
+    namePatternRe.foreach { r =>
+      if (!warnedForeignOffset && off.lastFile.nonEmpty &&
+          !r.matches(new org.apache.hadoop.fs.Path(off.lastFile).getName)) {
+        warnedForeignOffset = true
+        log.warn(s"osmpbf stream: committed offset '${off.lastFile}' does not " +
+          s"match fileNamePattern '${r.regex}' — it predates the pattern; " +
+          "files sorting below it will not be picked up while it remains the " +
+          "committed offset. Recover by restarting with a fresh " +
+          "checkpointLocation (applyDiffs-style merges are idempotent under replay).")
+      }
+    }
+    noteSeen(off.lastFile)
+    off
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[OsmPbfOffset].lastFile
     val hi = end.asInstanceOf[OsmPbfOffset].lastFile
-    // A committed offset whose NAME fails the active fileNamePattern comes
-    // from a checkpoint written before the pattern existed (or with a
-    // different one) — e.g. a foreign `state.osm.pbf` committed as the
-    // lexical-max offset pre-filter. The filtered listing now sorts BELOW
-    // it, so `p > lo` skips the whole backlog forever. The source cannot
-    // rewrite a committed offset (exactly-once would be voided for
-    // non-idempotent sinks), but it must not be silent about it.
-    OsmPbfSource.fileNamePattern(options).map(_.r).foreach { r =>
-      // lo is "" on the very first batch — Path("") is unconstructible
-      if (lo.nonEmpty && !r.matches(new org.apache.hadoop.fs.Path(lo).getName))
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"osmpbf stream: committed offset '$lo' does not match " +
-            s"fileNamePattern '${r.regex}' — it predates the pattern and sorts " +
-            "above the filtered listing, so pending files below it will be " +
-            "SKIPPED. Recover by restarting with a fresh checkpointLocation " +
-            "(applyDiffs-style merges are idempotent under replay).")
-    }
     val files = listFiles().filter(p => p > lo && p <= hi)
     // Shared scan with the batch planner: a stream started against a large
     // BACKLOG (thousands of queued diff files) distributes the frame scan

@@ -52,14 +52,17 @@ object OsmReplication {
   }
 
   /** Extract the osmosis sequence number from a diff file path
-    * (`.../<seq>.osm.pbf`). NULL — not an error — for a path without a
-    * numeric prefix (a foreign file dropped into the replication dir):
-    * regexp_extract yields '' on no-match, and under ANSI mode (Spark 4's
-    * default) cast('' as long) THROWS, so one stray file would crash the
-    * whole diff stream. Null-seq rows rank below every real seq in
-    * [[applyDiffs]]'s version/seq window (desc ordering puts nulls last). */
+    * (`.../<seq>.osm.pbf`). NULL — not an error — for any path whose FILE
+    * NAME is not exactly `<digits>.osm.pbf`: the name must start at a path
+    * separator (or string start), so `old-000000001.osm.pbf` is foreign
+    * (NULL), not seq 1 — an unanchored match would hand foreign files a
+    * real seq and walk them straight past [[applyDiffs]]'s null-seq drop.
+    * The no-match branch also avoids the ANSI trap (regexp_extract yields
+    * '' on no-match, and under ANSI — Spark 4's default — cast('' as long)
+    * THROWS, so one stray file would crash the whole job). NULL-seq rows
+    * are DROPPED by [[applyDiffs]], never merged. */
   def seqOfFile(fileCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    nullif(regexp_extract(fileCol, """(\d+)\.osm\.pbf$""", 1), lit("")).cast("long")
+    nullif(regexp_extract(fileCol, """(?:^|[/\\])(\d+)\.osm\.pbf$""", 1), lit("")).cast("long")
 
   /** Streaming view of a replication directory: one row per element per
     * diff file, with its sequence number. Feed into `foreachBatch` with

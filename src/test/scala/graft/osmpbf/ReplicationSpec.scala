@@ -223,14 +223,19 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
     writeDiff(dir, 1L, Seq(node(2L, 2, "v2-2")))
     // foreign: would DELETE node 1 at version 9 if merged
     writePbf(s"$dir/state.osm.pbf", Seq(node(1L, 9, "foreign-delete", visible = false)))
+    // the adversarial shape: a foreign name ENDING in <digits>.osm.pbf —
+    // an unanchored seqOfFile would extract seq=9 (non-null) and walk it
+    // straight past the isNotNull guard
+    writePbf(s"$dir/old-000000009.osm.pbf", Seq(node(3L, 9, "foreign-sfx", visible = false)))
     val base = spark.read.format("osmpbf").load(baseDir)
     val diffs = spark.read.format("osmpbf").load(dir)
       .withColumn("seq", OsmReplication.seqOfFile(col("_file"))).drop("_file")
     val merged = OsmReplication.applyDiffs(base, diffs)
       .select("id", "tags", "info.version").collect()
       .map(r => r.getLong(0) -> ((r.getMap[String, String](1)("name"), r.getInt(2)))).toMap
-    assert(merged.keySet === Set(1L, 2L, 3L, 4L, 5L), "foreign visible=false row deleted node 1")
+    assert(merged.keySet === Set(1L, 2L, 3L, 4L, 5L), "a foreign visible=false row deleted a node")
     assert(merged(1L) === (("v1-1", 1)), "foreign higher-version row won the merge")
+    assert(merged(3L) === (("v1-3", 1)), "digit-suffixed foreign name got a real seq")
     assert(merged(2L) === (("v2-2", 2)), "real diff row must still apply")
   }
 
@@ -254,9 +259,12 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
     // regexp_extract yields '' on no-match; under ANSI (Spark 4 default)
     // cast('' as long) throws — one stray file in the replication dir must
     // not crash the diff stream
-    val rows = Seq("/rep/000000042.osm.pbf", "/rep/state.osm.pbf", "/rep/readme.txt")
+    val rows = Seq("/rep/000000042.osm.pbf", "/rep/state.osm.pbf", "/rep/readme.txt",
+      "/rep/old-000000001.osm.pbf", "000000007.osm.pbf")
       .toDF("f").select(OsmReplication.seqOfFile(col("f")).as("s")).collect()
     assert(rows(0).getLong(0) === 42L)
     assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    assert(rows(3).isNullAt(0), "digit-suffixed foreign name must not yield a seq")
+    assert(rows(4).getLong(0) === 7L, "bare file name (no directory) must still parse")
   }
 }
