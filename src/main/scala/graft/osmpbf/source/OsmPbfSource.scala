@@ -156,8 +156,8 @@ object OsmPbfSource {
         warnedEmptyFilter.add(s"$pathOpt|${namePattern.get}"))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"osmpbf: fileNamePattern '${namePattern.get}' rejected all $candidates " +
-          s".pbf file(s) under '$pathOpt' — the pattern must match the ENTIRE " +
-          "file name; reads will return zero rows until it matches something.")
+          s"candidate file(s) under '$pathOpt' — the pattern must match the " +
+          "ENTIRE file name; reads will return zero rows until it matches something.")
     out
   }
 
@@ -445,8 +445,9 @@ object OsmPbfOffset {
 class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
     requiredSchema: StructType, kindsMask: Int, idMin: Long, idMax: Long,
     confS: graft.util.SerializableHadoopConf, permissive: Boolean)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private val target =
     Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(32L * 1024 * 1024)
@@ -465,19 +466,50 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
       OsmPbfSource.fileNamePattern(options)).sorted
     catch { case _: java.io.FileNotFoundException => Nil } // dir not created yet
 
-  // The largest offset this stream has SEEN — committed (via
-  // deserializeOffset on resume) or planned. latestOffset never returns
-  // below it: with a transiently-empty filtered listing (files deleted, or
-  // a pattern edit matching nothing) a bare listing-max would regress the
-  // offset to "", commit it through an empty batch, and the eventual
-  // recovery would re-admit EVERY previously-processed file (`p > ""`) —
-  // a full silent replay into possibly non-idempotent sinks.
+  // The largest offset this stream has SEEN — committed (the start offset
+  // Spark hands the admission-control latestOffset, or deserializeOffset
+  // on resume) or listed. latestOffset never returns below it: with a
+  // transiently-empty filtered listing (files deleted, or a pattern edit
+  // matching nothing) a bare listing-max would regress the offset to "",
+  // commit it through an empty batch, and the eventual recovery would
+  // re-admit EVERY previously-processed file (`p > ""`) — a full silent
+  // replay into possibly non-idempotent sinks. The ratchet MUST be fed the
+  // committed start per batch, which only the SupportsAdmissionControl
+  // latestOffset(start, limit) overload receives: on restart Spark calls
+  // the no-arg latestOffset()/prepareForTriggerAvailableNow BEFORE it ever
+  // deserializes the checkpointed offset (MicroBatchExecution plans the
+  // logical plan first), so seeding from deserializeOffset alone leaves
+  // the first post-restart trigger unprotected.
   @volatile private var maxSeenOffset: String = ""
   private def noteSeen(lastFile: String): Unit =
     if (lastFile > maxSeenOffset) maxSeenOffset = lastFile
 
   override def initialOffset(): Offset = OsmPbfOffset("")
 
+  // Trigger.AvailableNow: the run's end bound is the listing AT PREPARE
+  // TIME (files arriving mid-run wait for the next run — standard
+  // semantics). Implemented directly (not via Spark's wrapper) because the
+  // wrapper captures the PLAIN latestOffset() before offsets are restored
+  // and would pin a regressed "" bound for the whole run.
+  @volatile private var availableNowBound: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val fs = listFiles()
+    availableNowBound = Some(if (fs.isEmpty) "" else fs.last)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    noteSeen(start.asInstanceOf[OsmPbfOffset].lastFile) // the ratchet seed
+    val bound = availableNowBound.getOrElse {
+      val fs = listFiles(); if (fs.isEmpty) "" else fs.last
+    }
+    noteSeen(bound)
+    OsmPbfOffset(maxSeenOffset)
+  }
+
+  // Plain-MicroBatchStream path; unused once SupportsAdmissionControl is
+  // detected, kept for interface completeness with the same ratchet.
   override def latestOffset(): Offset = {
     val fs = listFiles()
     if (fs.nonEmpty) noteSeen(fs.last)

@@ -59,10 +59,13 @@ object OsmReplication {
     * real seq and walk them straight past [[applyDiffs]]'s null-seq drop.
     * The no-match branch also avoids the ANSI trap (regexp_extract yields
     * '' on no-match, and under ANSI — Spark 4's default — cast('' as long)
-    * THROWS, so one stray file would crash the whole job). NULL-seq rows
-    * are DROPPED by [[applyDiffs]], never merged. */
+    * THROWS, so one stray file would crash the whole job); the digit run
+    * is capped at 18 (any 18-digit value fits in a long) so a hostile
+    * 20-digit name is foreign/NULL instead of an ANSI overflow error —
+    * the cap costs nothing real, osmosis sequences are 9 digits. NULL-seq
+    * rows are DROPPED by [[applyDiffs]], never merged. */
   def seqOfFile(fileCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    nullif(regexp_extract(fileCol, """(?:^|[/\\])(\d+)\.osm\.pbf$""", 1), lit("")).cast("long")
+    nullif(regexp_extract(fileCol, """(?:^|[/\\])(\d{1,18})\.osm\.pbf$""", 1), lit("")).cast("long")
 
   /** Streaming view of a replication directory: one row per element per
     * diff file, with its sequence number. Feed into `foreachBatch` with
@@ -82,7 +85,7 @@ object OsmReplication {
     * batch callers reading unfiltered directories). */
   def diffStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.format("osmpbf").option("withFile", "true")
-      .option("fileNamePattern", """^\d+\.osm\.pbf$""").load(dir)
+      .option("fileNamePattern", """^\d{1,18}\.osm\.pbf$""").load(dir)
       .withColumn("seq", seqOfFile(col("_file")))
       .drop("_file")
 }

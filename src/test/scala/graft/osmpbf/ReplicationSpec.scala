@@ -254,17 +254,68 @@ class ReplicationSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq("000000001.osm.pbf"), s"unanchored pattern admitted: $got")
   }
 
+  test("offset never regresses: an emptied listing must not cause a full replay") {
+    // retention cleanup (or a pattern edit matching nothing) can make the
+    // filtered listing transiently empty UNDER an existing checkpoint. A
+    // listing-max latestOffset would regress the offset to "" through an
+    // empty batch; once files reappear, `p > ""` re-admits EVERYTHING — a
+    // full silent replay. The admission-control ratchet (latestOffset(start,
+    // limit) seeds from the committed start) must hold the offset instead.
+    val dir = s"$tmpDir/replication/regress-diffs"
+    val ckpt = s"$tmpDir/replication/regress-ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+    def runOnce(): Unit = {
+      val q = OsmReplication.diffStream(spark, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= df.select("seq", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    writeDiff(dir, 1L, Seq(node(10L, 1, "a")))
+    writeDiff(dir, 2L, Seq(node(11L, 1, "b")))
+    runOnce()
+    assert(seen.sorted === Seq((1L, 10L), (2L, 11L)))
+
+    // retention deletes every processed diff; the restarted stream sees an
+    // EMPTY listing and must not commit a regressed offset
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".osm.pbf")).foreach(_.delete())
+    seen.clear()
+    runOnce()
+    assert(seen.isEmpty)
+
+    // the old files come back (restored backup) plus one genuinely new
+    // diff: only the new one may be processed — a regressed offset would
+    // replay all three
+    writeDiff(dir, 1L, Seq(node(10L, 1, "a")))
+    writeDiff(dir, 2L, Seq(node(11L, 1, "b")))
+    writeDiff(dir, 3L, Seq(node(12L, 1, "c")))
+    seen.clear()
+    runOnce()
+    assert(seen.sorted === Seq((3L, 12L)), s"replayed already-processed diffs: ${seen.sorted}")
+  }
+
   test("seqOfFile: NULL for a foreign file name, not an ANSI cast error") {
     import spark.implicits._
     // regexp_extract yields '' on no-match; under ANSI (Spark 4 default)
     // cast('' as long) throws — one stray file in the replication dir must
     // not crash the diff stream
     val rows = Seq("/rep/000000042.osm.pbf", "/rep/state.osm.pbf", "/rep/readme.txt",
-      "/rep/old-000000001.osm.pbf", "000000007.osm.pbf")
+      "/rep/old-000000001.osm.pbf", "000000007.osm.pbf",
+      "/rep/99999999999999999999.osm.pbf") // 20 digits > Long.MaxValue
       .toDF("f").select(OsmReplication.seqOfFile(col("f")).as("s")).collect()
     assert(rows(0).getLong(0) === 42L)
     assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
     assert(rows(3).isNullAt(0), "digit-suffixed foreign name must not yield a seq")
     assert(rows(4).getLong(0) === 7L, "bare file name (no directory) must still parse")
+    assert(rows(5).isNullAt(0), "over-long digit run must be NULL, not an ANSI overflow")
   }
 }
