@@ -491,28 +491,33 @@ class OsmPbfMicroBatchStream(options: CaseInsensitiveStringMap,
   // semantics). Implemented directly (not via Spark's wrapper) because the
   // wrapper captures the PLAIN latestOffset() before offsets are restored
   // and would pin a regressed "" bound for the whole run.
-  @volatile private var availableNowBound: Option[String] = None
-  override def prepareForTriggerAvailableNow(): Unit = {
+  /** Lexical max of the filtered listing, "" if none — the one definition
+    * shared by the AvailableNow bound, the per-batch ratchet, and the
+    * plain path (divergence here would split the bound from the ratchet). */
+  private def listingMax(): String = {
     val fs = listFiles()
-    availableNowBound = Some(if (fs.isEmpty) "" else fs.last)
+    if (fs.isEmpty) "" else fs.last
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  @volatile private var availableNowBound: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(listingMax())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     noteSeen(start.asInstanceOf[OsmPbfOffset].lastFile) // the ratchet seed
-    val bound = availableNowBound.getOrElse {
-      val fs = listFiles(); if (fs.isEmpty) "" else fs.last
-    }
-    noteSeen(bound)
+    noteSeen(availableNowBound.getOrElse(listingMax()))
     OsmPbfOffset(maxSeenOffset)
   }
+
+  // StreamingQueryProgress.sources[].latestOffset reads THIS on the
+  // admission-control path (the interface default is null, which would
+  // blind backlog/lag monitoring that the plain path used to feed).
+  override def reportLatestOffset(): Offset = OsmPbfOffset(maxSeenOffset)
 
   // Plain-MicroBatchStream path; unused once SupportsAdmissionControl is
   // detected, kept for interface completeness with the same ratchet.
   override def latestOffset(): Offset = {
-    val fs = listFiles()
-    if (fs.nonEmpty) noteSeen(fs.last)
+    noteSeen(listingMax())
     OsmPbfOffset(maxSeenOffset)
   }
 
