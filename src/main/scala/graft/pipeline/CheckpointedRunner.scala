@@ -111,21 +111,57 @@ object CheckpointedRunner {
             s.getPath.getName == "_ckpt")
           .foreach(s => fs.delete(s.getPath, true))
       }
+      // rows whose tile is NULL (null lon/lat propagate through the
+      // null-intolerant cell expressions) cannot be bucketed: left in,
+      // partitionBy writes them to _bucket=__HIVE_DEFAULT_PARTITION__,
+      // which crashes the numeric bucket listing on every run AND resume
+      // (the staged copy validates, so the crash is permanent until the
+      // staging is deleted by hand). Dropped, counted, and logged — never
+      // silent.
+      val obs = Observation("staging")
       tiled.withColumn("_bucket", F.cell_parent(col("tile"), bucketRes))
+        .observe(obs, count(lit(1)).as("total"),
+          count(when(col("_bucket").isNull, lit(1))).as("null_bucket"))
+        .where(col("_bucket").isNotNull)
         .write.mode("overwrite").partitionBy("_bucket").parquet(stagedDir)
+      val nullRows = obs.get("null_bucket").asInstanceOf[Long]
+      if (nullRows > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"checkpointed runner: dropped $nullRows input row(s) with a null " +
+            s"tile (null lon/lat) of ${obs.get("total")} while staging $stagedDir")
       HadoopIO.writeString(lineageFile, stagedStamp, conf)
     }
-    val staged = spark.read.parquet(stagedDir)
     // bucket list from the partition directory names — a filesystem listing,
-    // not a data scan
+    // not a data scan. Non-numeric partition names (a pre-existing staged
+    // copy holding __HIVE_DEFAULT_PARTITION__) are skipped, not fatal.
     val buckets = HadoopIO.fileSystem(stagedDir, conf)
       .listStatus(new org.apache.hadoop.fs.Path(stagedDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
-      .map(_.getPath.getName.stripPrefix("_bucket=").toLong)
+      .flatMap(s =>
+        scala.util.Try(s.getPath.getName.stripPrefix("_bucket=").toLong).toOption)
       .sorted.toSeq
+    if (buckets.isEmpty) {
+      // an EMPTY input stages only _SUCCESS — reading it back would throw
+      // "Unable to infer schema", permanently (staging validates on resume)
+      HadoopIO.writeString(s"$outDir/_pipeline_metrics.json",
+        s"""{"buckets_total":0,"buckets_run":0,"buckets_skipped":0,
+           |"rows":0,"wall_ms":0,"lineage":"$lineage"}""".stripMargin, conf)
+      return Seq.empty
+    }
+    val staged = spark.read.parquet(stagedDir)
+
+    // a skipped bucket reports the rows its marker recorded, so resumed
+    // runs still aggregate to whole-dataset metrics (round-5 review: a
+    // resume that re-ran 1 of 16 buckets used to publish rows for that one
+    // bucket as if it described the whole output)
+    def markerRows(b: Long): Long =
+      """"rows":(-?\d+)""".r
+        .findFirstMatchIn(HadoopIO.readString(markerPath(outDir, b), conf))
+        .map(_.group(1).toLong).getOrElse(-1L)
 
     def runBucket(b: Long): BucketResult =
-      if (isDone(outDir, b, lineage, bucketRes, conf)) BucketResult(b, -1L, 0L, skipped = true)
+      if (isDone(outDir, b, lineage, bucketRes, conf))
+        BucketResult(b, markerRows(b), 0L, skipped = true)
       else {
         val t0 = System.nanoTime()
         failInjector(b) // test hook: simulate a crash mid-run
@@ -169,18 +205,43 @@ object CheckpointedRunner {
           outcomes.collect { case Right(r) => r }
         } finally pool.shutdown()
       }
-    // aggregate metrics for the whole run
+    // aggregate metrics for the whole OUTPUT (skipped buckets contribute
+    // their marker-recorded rows — the file describes the dataset under
+    // outDir, not just this invocation's work); wall_ms covers only the
+    // buckets actually run here
     val done = results.filterNot(_.skipped)
     val metrics =
       s"""{"buckets_total":${buckets.length},"buckets_run":${done.length},
          |"buckets_skipped":${results.count(_.skipped)},
-         |"rows":${done.map(_.rows).sum},"wall_ms":${done.map(_.wallMs).sum},
+         |"rows":${results.map(r => math.max(r.rows, 0L)).sum},
+         |"wall_ms":${done.map(_.wallMs).sum},
          |"lineage":"$lineage"}""".stripMargin
     HadoopIO.writeString(s"$outDir/_pipeline_metrics.json", metrics, conf)
     results
   }
 
-  /** Read back all bucket outputs as one DataFrame. */
-  def readOutput(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/bucket=*")
+  /** Read back COMPLETED bucket outputs as one DataFrame. Only buckets
+    * whose checkpoint marker says complete are read: a bucket whose job
+    * crashed mid-commit can leave partially-committed part files under
+    * `bucket=<b>/` with no marker — a bare `bucket=*` glob would silently
+    * include them and undercount. Throws if no bucket has completed. */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = HadoopIO.fileSystem(outDir, conf)
+    val complete = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter { s =>
+        val b = s.getPath.getName.stripPrefix("bucket=")
+        val marker = s"$outDir/_ckpt/$b.json"
+        HadoopIO.exists(marker, conf) &&
+          HadoopIO.readString(marker, conf).contains("\"complete\":true")
+      }
+      .map(_.getPath.toString)
+    if (complete.isEmpty)
+      throw new IllegalStateException(
+        s"no completed bucket outputs under $outDir (markers missing or incomplete)")
+    // basePath pins partition discovery to outDir so the `bucket` column is
+    // inferred exactly as the old `bucket=*` glob inferred it
+    spark.read.option("basePath", outDir).parquet(complete.toIndexedSeq: _*)
+  }
 }

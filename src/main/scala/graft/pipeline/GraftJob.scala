@@ -28,6 +28,15 @@ object GraftJob {
     val hits = SpatialJoin.pipJoin(
       assigned.select("image_id", "lon", "lat", "tile", "tile_z", "tile_x", "tile_y"),
       polys, res = res, mode = mode, salt = salt, hotCellThreshold = hotCellThreshold)
+    tileRollup(assigned, hits)
+  }
+
+  /** Per-tile aggregation of assigned images and their PIP hits — the ONE
+    * definition of the flagship output schema (tile, tile_z, tile_x,
+    * tile_y, n_images, n_hits, n_distinct_polys). Shared with the
+    * spark-submit pipeline ([[Main]]), which previously re-implemented it
+    * inline and had already drifted (it dropped n_distinct_polys). */
+  def tileRollup(assigned: DataFrame, hits: DataFrame): DataFrame = {
     val tileImages = assigned.groupBy("tile", "tile_z", "tile_x", "tile_y")
       .agg(count(lit(1)).as("n_images"))
     val tileHits = hits.groupBy("tile")

@@ -30,21 +30,30 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val snapshot = ImageTable.currentSnapshot(spark, imagesRoot)
-    val images = ImageTable.load(spark, imagesRoot)
+    // load the PINNED snapshot, not current: a concurrent append committing
+    // between the two calls would otherwise stamp every checkpoint marker
+    // with lineage snapshot N while the rows actually processed came from
+    // N+1 — wrong provenance, and a later pinned re-run would skip buckets
+    // computed from the newer data
+    val images = ImageTable.loadSnapshot(spark, imagesRoot, snapshot)
     val nodes = OsmPbf.nodes(spark, pbfPath).toDF()
     val ways = OsmPbf.ways(spark, pbfPath).toDF()
     val rels = OsmPbf.relations(spark, pbfPath).toDF()
     val polys = Assembly.polygons(nodes, ways, rels).localCheckpoint()
+    // one cover explosion shared by every bucket job (the per-bucket joins
+    // would otherwise each re-explode the full polygon set at `res`)
+    val polyCells = graft.spatial.join.SpatialJoin
+      .preparedPolygonCells(polys, res).localCheckpoint()
 
     val tiled = Tiles.assignPoints(images.select("image_id", "lon", "lat"), z)
     val lineage = s"images-snapshot=$snapshot pbf=$pbfPath z=$z res=$res"
     val results = CheckpointedRunner.run(spark, tiled, outDir,
       slice => {
-        val hits = graft.spatial.join.SpatialJoin.pipJoin(slice, polys, res = res, mode = "salted")
-        slice.groupBy("tile", "tile_z", "tile_x", "tile_y")
-          .agg(count(lit(1)).as("n_images"))
-          .join(hits.groupBy("tile").agg(count(lit(1)).as("n_hits")), Seq("tile"), "left")
-          .na.fill(0L, Seq("n_hits"))
+        val hits = graft.spatial.join.SpatialJoin.pipJoin(slice, polys,
+          res = res, mode = "salted", preparedCells = Some(polyCells))
+        // the library's flagship rollup — one schema definition, not an
+        // inline re-implementation that can drift
+        GraftJob.tileRollup(slice, hits)
       },
       bucketRes = 2, lineage = lineage,
       // the work closure above touches no shared driver state, so bucket

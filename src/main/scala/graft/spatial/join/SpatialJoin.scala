@@ -40,6 +40,15 @@ object SpatialJoin {
       explode(coverUdf(col("bbox.min_lon"), col("bbox.min_lat"),
         col("bbox.max_lon"), col("bbox.max_lat"), lit(res))))
 
+  /** The polygon side exactly as [[pipJoin]] consumes it (poly_id/poly_tags
+    * renames — polygon payload columns pass through without colliding with
+    * point-side names — cover-exploded, bbox dropped). localCheckpoint the
+    * result and hand it to many pipJoin calls via `preparedCells`. */
+  def preparedPolygonCells(polys: DataFrame, res: Int): DataFrame =
+    polygonCells(
+      polys.withColumnRenamed("id", "poly_id").withColumnRenamed("tags", "poly_tags"), res)
+      .drop("bbox")
+
   /** Point-in-polygon join.
     *
     * @param points  must carry `lon`, `lat` (any other columns pass through)
@@ -51,15 +60,17 @@ object SpatialJoin {
     * @param hotCellThreshold  salted mode replicates only cells whose point
     *                occupancy reaches this count (≤ 0 = replicate every
     *                cell, the pre-round-5 behavior)
+    * @param preparedCells  pass [[preparedPolygonCells]] (ideally
+    *                localCheckpointed) to reuse ONE cover explosion across
+    *                many pipJoin calls over the same polygons — a bucketed
+    *                pipeline otherwise re-explodes the full polygon set per
+    *                bucket job; `polys` is ignored when set
     */
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int = 12,
       mode: String = "shuffle", salt: Int = 8,
-      hotCellThreshold: Long = 100000L): DataFrame = {
-    // polygon payload columns (src, etc.) pass through; id/tags renamed to
-    // avoid colliding with point-side columns
-    val polyCells = polygonCells(
-      polys.withColumnRenamed("id", "poly_id").withColumnRenamed("tags", "poly_tags"), res)
-      .drop("bbox")
+      hotCellThreshold: Long = 100000L,
+      preparedCells: Option[DataFrame] = None): DataFrame = {
+    val polyCells = preparedCells.getOrElse(preparedPolygonCells(polys, res))
     val pts = points.withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
     val exact = F.point_in_polygon(col("lon"), col("lat"), col("rings"))
 

@@ -215,6 +215,61 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0) === 500L)
   }
 
+  test("null-tile rows drop at staging instead of wedging the runner forever") {
+    import spark.implicits._
+    // a null lon propagates through the cell expressions to a null tile;
+    // unfiltered, partitionBy writes it to _bucket=__HIVE_DEFAULT_PARTITION__
+    // and the numeric bucket listing then crashes on EVERY run and resume
+    // (the staging validates, so the crash is permanent until hand-deleted)
+    val outDir = s"$tmpDir/ckpt-nulltile"
+    val withNull = images.select("image_id", "lon", "lat").unionByName(
+      Seq(("img-nullcoord", Option.empty[Double], Option(1.0))).toDF("image_id", "lon", "lat"))
+    val tiled = Tiles.assignPoints(withNull, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile", "tile_z", "tile_x", "tile_y").agg(count(lit(1)).as("n"))
+    val r1 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "snap=n")
+    assert(r1.nonEmpty && r1.forall(!_.skipped))
+    // the 500 real images survive; the null-coordinate row is excluded
+    assert(CheckpointedRunner.readOutput(spark, outDir)
+      .agg(sum("n")).collect().head.getLong(0) === 500L)
+    val r2 = CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "snap=n")
+    assert(r2.forall(_.skipped))
+    // skipped results now carry their marker-recorded OUTPUT row counts, so
+    // resumed runs still report whole-output metrics (not -1 placeholders)
+    val outputRows = CheckpointedRunner.readOutput(spark, outDir).count()
+    assert(r2.map(_.rows).sum === outputRows && outputRows > 0)
+  }
+
+  test("empty input: no buckets, no unreadable-staging crash, clean resume") {
+    val outDir = s"$tmpDir/ckpt-empty"
+    val tiled = Tiles.assignPoints(images.limit(0), 10)
+    // an empty input stages only _SUCCESS; reading that back would throw
+    // "Unable to infer schema" on every run once the staging validates
+    val r1 = CheckpointedRunner.run(spark, tiled, outDir, identity, bucketRes = 2, lineage = "snap=e")
+    assert(r1.isEmpty)
+    val r2 = CheckpointedRunner.run(spark, tiled, outDir, identity, bucketRes = 2, lineage = "snap=e")
+    assert(r2.isEmpty)
+    intercept[IllegalStateException](CheckpointedRunner.readOutput(spark, outDir))
+  }
+
+  test("readOutput excludes a bucket directory lacking a completion marker") {
+    val outDir = s"$tmpDir/ckpt-partial"
+    val tiled = Tiles.assignPoints(images, 10)
+    val work = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("tile", "tile_z", "tile_x", "tile_y").agg(count(lit(1)).as("n"))
+    CheckpointedRunner.run(spark, tiled, outDir, work, bucketRes = 2, lineage = "snap=p")
+    val total = CheckpointedRunner.readOutput(spark, outDir)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(total === 500L)
+    // a driver crash mid-commitJob leaves part files under bucket=<b> with
+    // NO marker — a bare bucket=* glob silently included them
+    val first = new java.io.File(outDir).listFiles().map(_.getName)
+      .filter(_.startsWith("bucket=")).min
+    spark.read.parquet(s"$outDir/$first").write.parquet(s"$outDir/bucket=99999999")
+    assert(CheckpointedRunner.readOutput(spark, outDir)
+      .agg(sum("n")).collect().head.getLong(0) === total)
+  }
+
   test("incremental tile maintenance: base + appended delta == full recompute") {
     import org.apache.spark.sql.functions.col
     // the ImageTable append/incremental-read surface drives the additive
