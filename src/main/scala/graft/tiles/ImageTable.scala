@@ -41,8 +41,14 @@ object ImageTable {
          |"schema":"$schemaJson",
          |"manifest":[${entries.mkString(",")}],
          |"written-at":"deterministic"}""".stripMargin
-    graft.util.HadoopIO.writeString(s"$root/metadata/v$snapshotId.metadata.json", meta, conf)
-    graft.util.HadoopIO.writeString(s"$root/metadata/current", snapshotId.toString, conf)
+    // atomic replaces: a reader of `current` (or of a metadata file being
+    // re-committed) must see complete old bytes or complete new bytes —
+    // the truncate-first writeString could expose "" or a prefix, and a
+    // crash between truncate and write would brick the table pointer
+    graft.util.HadoopIO.replaceStringAtomic(
+      s"$root/metadata/v$snapshotId.metadata.json", meta, conf)
+    graft.util.HadoopIO.replaceStringAtomic(
+      s"$root/metadata/current", snapshotId.toString, conf)
   }
 
   def write(df: DataFrame, root: String, snapshotId: Long = 1L): Unit = {
@@ -54,7 +60,15 @@ object ImageTable {
     val pending = registerPending(root, s"snap=$snapshotId", conf)
     try {
       df.write.mode("overwrite").parquet(dataDir)
-      commitMetadata(root, snapshotId, None, df.schema, dataFileEntries(dataDir, conf), conf)
+      val entries = dataFileEntries(dataDir, conf)
+      // the current-pointer update must serialize with appends: unlocked,
+      // a write racing an append is a lost update on `current` (append
+      // reads parent, write sets snapshotId, append commits parent+1 —
+      // the write's snapshot silently vanishes from the pointer)
+      withMetadataLock(root, conf, 60000L, 120000L) { assertStillHeld =>
+        assertStillHeld()
+        commitMetadata(root, snapshotId, None, df.schema, entries, conf)
+      }
     } finally pending.close()
   }
 
@@ -105,22 +119,57 @@ object ImageTable {
       staleLockMs: Long = 60000L, lockTimeoutMs: Long = 120000L): Long = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    val token = java.util.UUID.randomUUID().toString
+    val txnToken = java.util.UUID.randomUUID().toString
     // 1. data write, unlocked: the expensive part at scale. A heartbeated
     // pending marker (not a time heuristic — a 100-TB data write can
     // outlive any fixed minAge) tells vacuum the txn dir is in flight.
-    val dataDir = s"$root/data/txn-$token"
+    val dataDir = s"$root/data/txn-$txnToken"
     // one try/finally spans EVERYTHING after registration — a failure
     // anywhere (data write, file listing, lock timeout, interrupted sleep)
     // must stop the heartbeat and drop the marker, or the orphan txn dir
     // is skipped by every future vacuum and the daemon executor leaks
-    val pending = registerPending(root, s"txn-$token", conf)
+    val pending = registerPending(root, s"txn-$txnToken", conf)
     try {
-    val newEntries = {
-      df.write.mode("overwrite").parquet(dataDir)
-      dataFileEntries(dataDir, conf)
+      val newEntries = {
+        df.write.mode("overwrite").parquet(dataDir)
+        dataFileEntries(dataDir, conf)
+      }
+      // 2. metadata commit under the token-stamped lock
+      withMetadataLock(root, conf, staleLockMs, lockTimeoutMs) { assertStillHeld =>
+        val parent = currentSnapshot(spark, root)
+        val snapshotId = parent + 1
+        val parentMeta = graft.util.HadoopIO.readString(
+          s"$root/metadata/v$parent.metadata.json", conf)
+        val parentManifest = """\{"path":"[^"]+","size":\d+\}""".r
+          .findAllIn(parentMeta).toSeq
+        assertStillHeld()
+        commitMetadata(root, snapshotId, Some(parent), df.schema,
+          parentManifest ++ newEntries, conf)
+        snapshotId
+      }
+    } finally {
+      // committed (or failed anywhere above): the manifest now references
+      // the files (or the txn dir is orphaned garbage) — either way the
+      // pending marker has served its purpose
+      pending.close()
     }
-    // 2. metadata commit under the token-stamped lock
+  }
+
+  /** Acquire `<root>/metadata/.append-lock`, run `body`, release. The lock
+    * serializes EVERY current-pointer committer (append and write — an
+    * unlocked write racing an append is a lost update on `current`).
+    * `body` receives `assertStillHeld`: call it immediately before the
+    * metadata commit — a holder stalled past `staleLockMs` (huge parent
+    * manifest, GC pause) may have had its lock legitimately broken by a
+    * waiter, and committing anyway would assign the same snapshot id twice,
+    * silently overwriting the waiter's rows; better to fail LOUDLY (the
+    * data dir becomes vacuumable garbage, the caller retries). The residual
+    * check-to-commit window is microseconds against a 60 s staleness
+    * threshold. */
+  private def withMetadataLock[T](root: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      staleLockMs: Long, lockTimeoutMs: Long)(body: (() => Unit) => T): T = {
+    val token = java.util.UUID.randomUUID().toString
     val lock = s"$root/metadata/.append-lock"
     val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
     var acquired = false
@@ -142,38 +191,35 @@ object ImageTable {
             val still = try graft.util.HadoopIO.readString(lock, conf)
               catch { case _: Exception => null }
             if (still == heldToken) graft.util.HadoopIO.delete(lock, conf)
-          case _ =>
-            if (System.nanoTime() > deadline)
-              throw new IllegalStateException(
-                s"could not acquire $lock within ${lockTimeoutMs}ms")
-            else Thread.sleep(200)
+          case _ => ()
         }
+        // the deadline bounds EVERY retry path — including a stale lock
+        // whose delete keeps failing (permissions, transient store errors):
+        // unbounded, that branch busy-spun forever and the lockTimeoutMs
+        // contract was never enforced
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire $lock within ${lockTimeoutMs}ms")
+        Thread.sleep(100)
       }
     }
-    try {
-      val parent = currentSnapshot(spark, root)
-      val snapshotId = parent + 1
-      val parentMeta = graft.util.HadoopIO.readString(
-        s"$root/metadata/v$parent.metadata.json", conf)
-      val parentManifest = """\{"path":"[^"]+","size":\d+\}""".r
-        .findAllIn(parentMeta).toSeq
-      commitMetadata(root, snapshotId, Some(parent), df.schema,
-        parentManifest ++ newEntries, conf)
-      snapshotId
-    } finally {
+    val assertStillHeld: () => Unit = () => {
+      val still = try graft.util.HadoopIO.readString(lock, conf)
+        catch { case _: Exception => null }
+      if (still != token)
+        throw new IllegalStateException(
+          s"$lock lost before commit (broken as stale by a waiter after " +
+            s"${staleLockMs}ms) — aborting instead of double-committing")
+    }
+    try body(assertStillHeld)
+    finally {
       // release ONLY our own lock instance: if this holder stalled past
       // staleLockMs and a waiter broke the lock, it now carries the
       // waiter's token — an unconditional delete would free the waiter's
-      // live lock and let a third appender race its commit
+      // live lock and let a third committer race its commit
       val still = try graft.util.HadoopIO.readString(lock, conf)
         catch { case _: Exception => null }
       if (still == token) graft.util.HadoopIO.delete(lock, conf)
-    }
-    } finally {
-      // committed (or failed anywhere above): the manifest now references
-      // the files (or the txn dir is orphaned garbage) — either way the
-      // pending marker has served its purpose
-      pending.close()
     }
   }
 
@@ -291,23 +337,46 @@ object ImageTable {
       pendingGraceMs: Long = PendingGraceMs): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = graft.util.HadoopIO.fileSystem(root, conf)
-    val referenced: Set[String] = listSnapshots(root, conf)
-      .flatMap(id => manifest(spark, root, id)).toSet
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     if (!fs.exists(dataDir)) return Seq.empty
-    // list DATA first, markers second: an append registers its marker
-    // before writing any data file, so any txn dir visible in this listing
-    // has its marker visible in the (later) marker listing — the reverse
-    // order leaves a window where a just-registered append's files are
-    // seen but its marker was not
+    // Ordering is the whole safety argument, in two halves:
+    //   DATA before MARKERS — an append registers its marker before writing
+    //   any data file, so any txn dir in this listing has its marker
+    //   visible in the later marker listing (reverse order: a
+    //   just-registered append's files seen, marker not yet);
+    //   MARKERS before REFERENCED — an append closes its marker only AFTER
+    //   its metadata commit, so a child with no live marker either crashed
+    //   (aged out) or its snapshot is already committed and the (later)
+    //   manifest sweep sees its files as referenced. Computing `referenced`
+    //   FIRST re-opened the hole for long appends: commit + marker close
+    //   during the vacuum left files !referenced (stale set), !marked,
+    //   !young (a 3 h append beats any minAge) → deleted although live.
     val dataChildren = fs.listStatus(dataDir)
     val inFlight = pendingChildren(root, pendingGraceMs, conf)
+    val referenced: Set[String] = listSnapshots(root, conf)
+      .flatMap { id =>
+        // a concurrent expireSnapshots may delete a metadata file between
+        // the listing and this read — a vanished snapshot contributes no
+        // references (its exclusive files are then legitimately
+        // reclaimable; shared files appear in surviving manifests)
+        try manifest(spark, root, id)
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      }.toSet
     val now = System.currentTimeMillis()
     val deleted = Seq.newBuilder[String]
+    // recursive file walk: a crashed mid-write txn dir holds its parts
+    // under _temporary/<attempt>/... — a one-level listing never saw them,
+    // so the bytes (and the blocking _temporary subdir) leaked forever
+    def allFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) out += it.next()
+      out.result()
+    }
     dataChildren.filterNot(s => inFlight.contains(s.getPath.getName)).foreach { sub =>
       // each child is a snapshot or txn dir of part-files
-      val files = if (sub.isDirectory) fs.listStatus(sub.getPath).toSeq else Seq(sub)
-      files.filter(_.isFile).foreach { f =>
+      val files = if (sub.isDirectory) allFiles(sub.getPath) else Seq(sub)
+      files.foreach { f =>
         val live = referenced.contains(f.getPath.toString)
         val young = now - f.getModificationTime < minAgeMs
         val marker = f.getPath.getName.startsWith("_") // _SUCCESS etc.
@@ -316,12 +385,11 @@ object ImageTable {
           deleted += f.getPath.toString
         }
       }
-      // drop dirs emptied of data files (markers alone don't keep a dir)
-      if (sub.isDirectory) {
-        val rest = fs.listStatus(sub.getPath)
-        if (rest.forall(r => r.isFile && r.getPath.getName.startsWith("_")))
-          fs.delete(sub.getPath, true)
-      }
+      // drop dirs emptied of data files (markers alone — or empty
+      // _temporary attempt trees — don't keep a dir alive)
+      if (sub.isDirectory &&
+          allFiles(sub.getPath).forall(_.getPath.getName.startsWith("_")))
+        fs.delete(sub.getPath, true)
     }
     deleted.result()
   }
@@ -337,8 +405,32 @@ object ImageTable {
     val delta = manifest(spark, root, toSnapshot).filterNot(before)
     if (delta.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        loadSnapshot(spark, root, toSnapshot).schema)
+        snapshotSchema(spark, root, toSnapshot))
     else spark.read.parquet(delta: _*)
+  }
+
+  /** The schema recorded in a snapshot's metadata JSON. The empty-delta
+    * branch above used to materialize loadSnapshot(...).schema — parquet
+    * footer reads over EVERY file of the snapshot, I/O proportional to
+    * table size for an operation returning zero rows; the metadata file
+    * already embeds the schema. */
+  private def snapshotSchema(spark: SparkSession, root: String,
+      snapshotId: Long): org.apache.spark.sql.types.StructType = {
+    val meta = graft.util.HadoopIO.readString(
+      s"$root/metadata/v$snapshotId.metadata.json", spark.sessionState.newHadoopConf())
+    // the schema value is a JSON string with \\ and \" escaped at commit
+    // time, so a raw '"' cannot appear inside the match
+    val escaped = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalStateException(
+        s"no schema field in v$snapshotId.metadata.json under $root"))
+      .group(1)
+    val json = escaped.replace("\\\"", "\"").replace("\\\\", "\\")
+    val st = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // parquet read-back reports every column nullable; the recorded schema
+    // keeps the writer's nullable=false flags — align to the read-back
+    // shape so an empty delta unions/compares cleanly with a real one
+    org.apache.spark.sql.types.StructType(st.fields.map(_.copy(nullable = true)))
   }
 
   /** Per-row image parity check vs the deterministic generator
@@ -352,18 +444,24 @@ object ImageTable {
     val centersB = spark.sparkContext.broadcast(centers)
     df.select("image_id", "bytes", "w", "h", "caption", "phash").map { r =>
       val imageId = r.getString(0)
-      val idx = imageId.stripPrefix("img_").toLong
-      // single fused pass over a per-thread reused decode buffer: PSNR vs
-      // the generator formula + average-hash, with no Img / raster / native
-      // Inflater allocated per row (GC was the serial term capping scaling)
-      val st = Images.parityStats(r.getAs[Array[Byte]](1), idx)
-      val p = if (st.w == r.getInt(2) && st.h == r.getInt(3)) st.psnrDb else 0.0
-      val (lon, lat) = Images.position(idx, centersB.value)
-      val expectedCaption = Images.captionFor(idx, lon, lat)
-      (imageId,
-        if (p.isInfinity) 1e9 else p,
-        r.getString(4) == expectedCaption,
-        r.getLong(5) == st.ahash)
+      // a foreign/malformed id (not img_<digits>) is a FAILED VERDICT, not
+      // a task crash — consistent with parityStats' own foreign-bytes
+      // fallback; one bad row must not abort the whole parity job
+      scala.util.Try(imageId.stripPrefix("img_").toLong).toOption match {
+        case None => (imageId, 0.0, false, false)
+        case Some(idx) =>
+          // single fused pass over a per-thread reused decode buffer: PSNR vs
+          // the generator formula + average-hash, with no Img / raster / native
+          // Inflater allocated per row (GC was the serial term capping scaling)
+          val st = Images.parityStats(r.getAs[Array[Byte]](1), idx)
+          val p = if (st.w == r.getInt(2) && st.h == r.getInt(3)) st.psnrDb else 0.0
+          val (lon, lat) = Images.position(idx, centersB.value)
+          val expectedCaption = Images.captionFor(idx, lon, lat)
+          (imageId,
+            if (p.isInfinity) 1e9 else p,
+            r.getString(4) == expectedCaption,
+            r.getLong(5) == st.ahash)
+      }
     }.toDF("image_id", "psnr_db", "caption_ok", "phash_ok")
   }
 }

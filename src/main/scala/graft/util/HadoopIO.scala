@@ -71,6 +71,24 @@ object HadoopIO {
     finally out.close()
   }
 
+  /** Replace `path`'s content atomically: write a sibling temp file, then
+    * FileContext.rename(OVERWRITE) — readers see the old bytes or the new,
+    * never a truncated prefix. Plain writeString truncates FIRST (fs.create
+    * overwrite=true), so a concurrent reader of, e.g., a table's `current`
+    * pointer could read "" or a prefix of the old value, and a crash
+    * between truncate and write loses the pointer entirely. */
+  def replaceStringAtomic(path: String, content: String, conf: Configuration): Unit = {
+    val dst = new Path(path)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+    writeString(tmp.toString, content, conf)
+    try org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: Exception =>
+      try dst.getFileSystem(conf).delete(tmp, false) catch { case _: Exception => () }
+      throw e
+    }
+  }
+
   def readString(path: String, conf: Configuration): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)

@@ -141,6 +141,36 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(ImageTable.load(spark, root2).count() === 12)
   }
 
+  test("vacuum reclaims a crashed write's nested _temporary tree") {
+    // an append that dies while df.write is in flight leaves
+    // data/txn-X/_temporary/<attempt>/.../part-*.parquet — the one-level
+    // listing never saw the nested files, and the _temporary SUBDIR failed
+    // the old all-files drop check, so the whole tree leaked forever
+    val root = s"$tmpDir/imageTable-nested"
+    val conf = spark.sessionState.newHadoopConf()
+    ImageTable.write(Images.synthesize(spark, 5, centers, 2), root, snapshotId = 1L)
+    graft.util.HadoopIO.writeString(
+      s"$root/data/txn-crashed/_temporary/0/task-1/part-00000-x.parquet", "junk", conf)
+    val deleted = ImageTable.vacuum(spark, root, minAgeMs = 0L)
+    assert(deleted.exists(_.contains("txn-crashed")), s"nested orphan survived: $deleted")
+    assert(!graft.util.HadoopIO.exists(s"$root/data/txn-crashed", conf),
+      "emptied txn dir (with _temporary subtree) not dropped")
+    assert(ImageTable.load(spark, root).count() === 5)
+  }
+
+  test("parity reports a failed verdict for a malformed image_id, not a task crash") {
+    import spark.implicits._
+    val good = Images.synthesize(spark, 3, centers, 1)
+    val foreign = good.limit(1)
+      .withColumn("image_id", org.apache.spark.sql.functions.lit("ext_not_numeric"))
+    val parity = ImageTable.parity(good.unionByName(foreign), centers).collect()
+    assert(parity.length === 4)
+    val bad = parity.find(_.getString(0) == "ext_not_numeric").get
+    assert(!bad.getBoolean(2) && !bad.getBoolean(3) && bad.getDouble(1) === 0.0)
+    assert(parity.filter(_.getString(0) != "ext_not_numeric")
+      .forall(r => r.getBoolean(2) && r.getBoolean(3)))
+  }
+
   test("vacuum skips txn dirs with a live pending marker; stale markers age out") {
     val root = s"$tmpDir/imageTable8"
     val conf = spark.sessionState.newHadoopConf()
