@@ -25,8 +25,10 @@ object StreamingDedup {
 
   /** One doc entering the dedup: content fingerprint + a content-determined
     * payload (identical for every duplicate, so emission stays deterministic
-    * under any partitioning/batch order). */
-  final case class FingerprintedDoc(fingerprint: String, doc_id: Long, n_tokens: Int)
+    * under any partitioning/batch order). No doc_id: the output never used
+    * it, and a null (or uncastable) id would fail the non-nullable Long
+    * encoder field and kill the whole query. */
+  final case class FingerprintedDoc(fingerprint: String, n_tokens: Int)
 
   /** First-seen emission: the fingerprint and its content-determined token
     * count. Deliberately does NOT carry doc_id — which duplicate arrives
@@ -36,15 +38,13 @@ object StreamingDedup {
 
   /** Emit each distinct `textCol` fingerprint exactly once over the lifetime
     * of the stream (append mode; state persisted in the checkpoint). */
-  def firstSeen(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): Dataset[FirstSeen] = {
+  def firstSeen(docs: DataFrame, textCol: String = "text"): Dataset[FirstSeen] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // null text has no fingerprint — drop it rather than kill the query
     // (a null into the non-nullable encoder fields fails the whole stream)
     val fp = docs.where(col(textCol).isNotNull).select(
       md5(col(textCol)).as("fingerprint"),
-      col(idCol).cast("long").as("doc_id"),
       size(split(col(textCol), " ", -1)).as("n_tokens")).as[FingerprintedDoc]
     fp.groupByKey(_.fingerprint)
       .flatMapGroupsWithState[Boolean, FirstSeen](
@@ -77,12 +77,18 @@ object StreamingDedup {
     require(ttlMillis > 0, "TTL must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    // rows with null text or null event time cannot be deduped or aged —
-    // drop them rather than NPE in the state function / encoder
-    val fp = docs.where(col(textCol).isNotNull && col(tsCol).isNotNull).select(
+    // rows with null text or no usable event time cannot be deduped or
+    // aged — drop them rather than kill the query. The guard runs on the
+    // CASTED timestamp (filtering the raw column would pass a
+    // non-null-but-unparseable value whose conversion fails downstream of
+    // it), and the cast is try_cast: under ANSI mode — Spark 4's default —
+    // a plain cast of 'garbage' to timestamp THROWS, so one malformed row
+    // in an unbounded stream would otherwise abort the whole query.
+    val fp = docs.select(
       md5(col(textCol)).as("fingerprint"),
       size(split(col(textCol), " ", -1)).as("n_tokens"),
-      col(tsCol).cast("timestamp").as("ts"))
+      expr(s"try_cast(`$tsCol` as timestamp)").as("ts"))
+      .where(col("fingerprint").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", delayThreshold)
       .as[TimedDoc]
     // state = the window's expiry timestamp (ms). It must live in the state,
@@ -96,7 +102,7 @@ object StreamingDedup {
           if (state.hasTimedOut) { // horizon passed: forget the fingerprint
             state.remove()
             Iterator.empty
-          } else if (state.exists) {
+          } else if (state.exists && state.get > state.getCurrentWatermarkMs()) {
             // inside the window: suppress, re-arm the ORIGINAL expiry
             // (repeats don't extend it); the registered timestamp must sit
             // strictly beyond the current watermark or the store rejects it
@@ -104,7 +110,21 @@ object StreamingDedup {
               math.max(state.get, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           } else {
-            val first = rows.next()
+            // no state — OR state whose expiry the watermark has already
+            // passed: Spark fires hasTimedOut only for keys with NO data
+            // this trigger, so a fingerprint recurring in the very batch
+            // where its timeout would have fired lands here with stale
+            // state. Treating that as suppressed would silently swallow
+            // the post-expiry occurrence (and the wm+1 re-arm would then
+            // drop the key having emitted nothing) — the documented
+            // contract is that it is emitted again, starting a new window.
+            //
+            // Anchor at the batch's MINIMUM event time, not rows.next():
+            // with several occurrences in one batch the iterator's order is
+            // partitioning-dependent, and an order-dependent window end
+            // would make the emitted set nondeterministic across runs.
+            // n_tokens is content-determined — identical on every row.
+            val first = rows.minBy(_.ts.getTime)
             val expiry = first.ts.getTime + ttlMillis
             state.update(expiry)
             state.setTimeoutTimestamp(math.max(expiry, state.getCurrentWatermarkMs() + 1))

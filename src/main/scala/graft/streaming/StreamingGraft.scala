@@ -81,13 +81,20 @@ object StreamingGraft {
     val conf = spark.sessionState.newHadoopConf()
     val w = latestSnapshotVersion(deltaDir, conf)
     val tail = deltaBatchIds(deltaDir, conf).filter(_ > w)
-    foldStats(spark, deltaDir, w, tail).getOrElse {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("tile", LongType), StructField("tile_z", IntegerType),
-          StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
-          StructField("n_images", LongType), StructField("n_hits", LongType))))
-    }
+    foldStats(spark, deltaDir, w, tail).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StatsSchema))
+  }
+
+  /** The delta/rollup stats schema — GraftJob.tileRollup's output minus the
+    * non-additive distinct-poly sketch, exactly what [[writeBatchDelta]]
+    * persists. One definition, so the never-fired-a-batch rollup cannot
+    * drift from the real write path's shape (StreamingGraftSpec asserts the
+    * empty and non-empty rollup schemas agree). */
+  private[streaming] val StatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("tile", LongType), StructField("tile_z", IntegerType),
+      StructField("tile_x", IntegerType), StructField("tile_y", IntegerType),
+      StructField("n_images", LongType), StructField("n_hits", LongType)))
   }
 
   /** snapshot(v) + additive fold of the PINNED `tail` partition list, or
@@ -130,8 +137,14 @@ object StreamingGraft {
     * GC deletes files a concurrently *planned* rollup may still reference;
     * like any file-based table without a catalog, run compaction from the
     * maintenance path (e.g. between micro-batches in the foreachBatch
-    * driver thread) or enable `spark.sql.files.ignoreMissingFiles` for
-    * ad-hoc readers.
+    * driver thread — the compactEvery wiring). A reader that does race a
+    * compact fails LOUDLY with FileNotFoundException and should re-plan
+    * its rollup; do NOT paper over it with
+    * `spark.sql.files.ignoreMissingFiles` — rollup lists the snapshot
+    * version before the deltas, so a compact committing between the two
+    * listings makes that setting silently skip the vanished old snapshot
+    * and UNDERCOUNT every batch it contained, which is strictly worse
+    * than the error.
     *
     * Returns the new watermark (max folded batch id), or the previous one
     * if there was nothing new to fold. */

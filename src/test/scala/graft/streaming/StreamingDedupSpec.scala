@@ -104,4 +104,46 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(all.groupBy(identity).values.map(_.size).toSet === Set(1, 2),
       "exactly one fingerprint (doc A) emitted twice")
   }
+
+  test("TTL variant: a post-expiry recurrence in the timeout's own trigger re-emits") {
+    import spark.implicits._
+    // Spark fires hasTimedOut only for keys with NO data in the trigger, so
+    // a fingerprint recurring in the very batch where its timeout would
+    // have fired reaches the function with stale state — suppressing it
+    // (the old state.exists behavior) silently swallowed the post-expiry
+    // occurrence, and the wm+1 re-arm then dropped the key having emitted
+    // nothing. The expiry-vs-watermark check must treat it as a fresh
+    // window. Also pins the deterministic anchor: two occurrences in one
+    // batch anchor the window at the MINIMUM event time.
+    val dir = s"$tmpDir/sdedup-ttl2-in"
+    val outDir = s"$tmpDir/sdedup-ttl2-out"
+    val ckpt = s"$tmpDir/sdedup-ttl2-ckpt"
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    def feed(rows: Seq[(Long, String, java.sql.Timestamp)], first: Boolean): Unit = {
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode(if (first) "overwrite" else "append").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      StreamingDedup.firstSeenWithTTL(
+        spark.readStream.schema(schema).parquet(dir), "ts", ttlMillis = 3600L * 1000)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def counts(): Map[String, Int] =
+      spark.read.parquet(outDir).collect().map(_.getAs[String]("fingerprint"))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    // run 1: E twice in ONE batch (2h listed first) — anchored at min(0h),
+    // expiry 1h; emitted once
+    feed(Seq((1L, "doc E", ts(2)), (2L, "doc E", ts(0))), first = true)
+    assert(counts().values.toSeq === Seq(1))
+    // run 2: unrelated key advances the watermark to 3h (past E's 1h expiry)
+    feed(Seq((3L, "doc X", ts(3))), first = false)
+    assert(counts().values.sum === 2)
+    // run 3: E recurs at 4h IN the trigger where its timeout would fire
+    // (wm=3h > expiry=1h, but E has data so hasTimedOut never fires for it)
+    feed(Seq((4L, "doc E", ts(4))), first = false)
+    val c = counts()
+    assert(c.values.sum === 3)
+    assert(c.values.max === 2, s"post-expiry same-trigger recurrence swallowed: $c")
+  }
 }

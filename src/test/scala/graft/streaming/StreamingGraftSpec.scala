@@ -51,6 +51,13 @@ class StreamingGraftSpec extends AnyFunSuite with SparkTestBase {
     StreamingGraft.writeBatchDelta(slice(0, 250), polys, deltaDir, batchId = 0L, z = 10, res = 12)
     assert(asMap(StreamingGraft.rollup(spark, deltaDir)) === batch,
       "retried micro-batch double-counted its delta")
+    // the never-fired-a-batch rollup must return the SAME schema as a real
+    // one (its empty branch uses the shared StatsSchema constant — a
+    // hand-written literal there drifts silently from the write path)
+    val emptyRollup = StreamingGraft.rollup(spark, s"$tmpDir/sg-never-written")
+    assert(emptyRollup.schema.fieldNames.toSeq ===
+      StreamingGraft.rollup(spark, deltaDir).schema.fieldNames.toSeq)
+    assert(emptyRollup.count() === 0)
   }
 
   test("compact folds deltas into a snapshot; rollup, retries and GC stay correct") {
