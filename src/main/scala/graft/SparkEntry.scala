@@ -575,9 +575,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT doc_id, md5(text) AS fingerprint,
-        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
-        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |  CASE WHEN text IS NULL THEN doc_id
+        |       ELSE MIN(doc_id) OVER (PARTITION BY md5(text)) END AS canonical_id,
+        |  CASE WHEN text IS NULL THEN CAST(1 AS BIGINT)
+        |       ELSE COUNT(*) OVER (PARTITION BY md5(text)) END AS group_size,
+        |  doc_id <> CASE WHEN text IS NULL THEN doc_id
+        |       ELSE MIN(doc_id) OVER (PARTITION BY md5(text)) END AS is_duplicate
         |FROM documents""".stripMargin,
     "d2_text_quality" ->
       """SELECT doc_id,
@@ -586,16 +589,16 @@ object SparkEntry {
         |       (length(text) - length(replace(text, ',', ''))) +
         |       (length(text) - length(replace(text, '!', ''))) +
         |       (length(text) - length(replace(text, '?', ''))) AS BIGINT) AS punct_count,
-        |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 +
-        |       (length(lower(text)) - length(replace(lower(text), ' a ', ''))) / 3 +
-        |       (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 +
-        |       (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT) AS stopword_count
-        |FROM documents""".stripMargin,
+        |  CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 +
+        |       (length(pt) - length(replace(pt, ' a ', ''))) / 3 +
+        |       (length(pt) - length(replace(pt, ' and ', ''))) / 5 +
+        |       (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS stopword_count
+        |FROM (SELECT *, ' ' || lower(text) || ' ' AS pt FROM documents)""".stripMargin,
     "d3_langid" -> langIdSql,
     "d4_fingerprint" ->
       """SELECT doc_id,
-        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
-        |  substring(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint16
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint16
         |FROM documents""".stripMargin,
     "q16_bbox_aggregator" ->
       s"""SELECT MIN(lon) AS min_lon, MIN(lat) AS min_lat,
@@ -725,11 +728,11 @@ object SparkEntry {
        |g AS (
        |  SELECT doc_id, n_tokens,
        |    CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS mwl,
-       |    CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 +
-       |         (length(lower(text)) - length(replace(lower(text), ' a ', ''))) / 3 +
-       |         (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 +
-       |         (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT) AS sw,
-       |    $en AS s_en, $de AS s_de, $fr AS s_fr
+       |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5 +
+       |         (length(t) - length(replace(t, ' a ', ''))) / 3 +
+       |         (length(t) - length(replace(t, ' and ', ''))) / 5 +
+       |         (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS sw,
+       |    COALESCE($en, 0) AS s_en, COALESCE($de, 0) AS s_de, COALESCE($fr, 0) AS s_fr
        |  FROM f),
        |g2 AS (
        |  SELECT doc_id, n_tokens,
@@ -754,13 +757,15 @@ object SparkEntry {
     val en = score(Seq("the", "and", "of", "is", "with"))
     val de = score(Seq("der", "die", "und", "ist", "mit"))
     val fr = score(Seq("le", "la", "et", "est", "avec"))
+    // COALESCE mirrors the Spark side: null text must score 0 → 'und',
+    // never slide past the CASE arms into the 'fr' fallback
     s"""SELECT doc_id,
-       |  CAST($en AS BIGINT) AS score_en,
-       |  CAST($de AS BIGINT) AS score_de,
-       |  CAST($fr AS BIGINT) AS score_fr,
-       |  CASE WHEN GREATEST($en, $de, $fr) = 0 THEN 'und'
-       |       WHEN $en >= $de AND $en >= $fr THEN 'en'
-       |       WHEN $de >= $fr THEN 'de'
+       |  CAST(COALESCE($en, 0) AS BIGINT) AS score_en,
+       |  CAST(COALESCE($de, 0) AS BIGINT) AS score_de,
+       |  CAST(COALESCE($fr, 0) AS BIGINT) AS score_fr,
+       |  CASE WHEN GREATEST(COALESCE($en, 0), COALESCE($de, 0), COALESCE($fr, 0)) = 0 THEN 'und'
+       |       WHEN COALESCE($en, 0) >= COALESCE($de, 0) AND COALESCE($en, 0) >= COALESCE($fr, 0) THEN 'en'
+       |       WHEN COALESCE($de, 0) >= COALESCE($fr, 0) THEN 'de'
        |       ELSE 'fr' END AS lang_pred
        |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)""".stripMargin
   }

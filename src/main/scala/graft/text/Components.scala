@@ -71,6 +71,12 @@ object Components {
       .withColumn("comp", col("id"))
       .localCheckpoint())
     var it = 0
+    // the finally frees this call's pinned blocks on EVERY exit — the two
+    // normal ones AND a mid-loop Spark action failure (executor loss on
+    // iteration k would otherwise leave k checkpointed label frames pinned,
+    // the round-1 knnJoin leak this tracker exists to prevent)
+    var result: DataFrame = null
+    try {
     while (it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy("src").agg(min("comp").as("_nm"))
@@ -97,16 +103,17 @@ object Components {
       labels = jumped.select("id", "comp")
       it += 1
       if (changed == 0L) {
-        // materialize the result's own blocks, then free every block this
-        // call created (per-iteration checkpoints would otherwise
-        // accumulate — the round-1 knnJoin leak)
-        val out = labels.select(col("id"), col("comp").as("component")).localCheckpoint()
-        ckpt.freeAllExcept(out)
-        return out
+        // materialize the result's own blocks; the finally below frees the
+        // rest
+        result = labels.select(col("id"), col("comp").as("component")).localCheckpoint()
+        return result
       }
     }
-    ckpt.freeAllExcept(Set.empty[Int])
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations")
+    } finally {
+      if (result != null) ckpt.freeAllExcept(result)
+      else ckpt.freeAllExcept(Set.empty[Int])
+    }
   }
 }

@@ -16,15 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: md5 of normalized text. Returns one row per document with
-    * its canonical (minimum) doc id per fingerprint group — the standard
-    * keep-first policy. Single hash-aggregate shuffle on the fingerprint. */
+  /** Exact dedup: md5 of the RAW text (byte-identical duplicates; for
+    * whitespace/case-normalized keys hash
+    * [[graft.text.TextAnalysis.fingerprint]]'s norm_text instead). Returns
+    * one row per document with its canonical (minimum) doc id per
+    * fingerprint group — the standard keep-first policy. Single
+    * hash-aggregate shuffle on the fingerprint. NULL-text rows are their
+    * own singletons, never duplicates of each other: md5(null) is null,
+    * and the window would otherwise group every unknown text into one
+    * null-fingerprint cluster and mark all but one as duplicates — the
+    * opposite of SQL null semantics. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col("fingerprint"))
     docs
       .withColumn("fingerprint", md5(col(textCol)))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id",
+        when(col("fingerprint").isNull, col(idCol)).otherwise(min(col(idCol)).over(w)))
+      .withColumn("group_size",
+        when(col("fingerprint").isNull, lit(1L)).otherwise(count(lit(1)).over(w)))
       .select(col(idCol), col("fingerprint"), col("canonical_id"), col("group_size"))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
@@ -202,6 +211,12 @@ object Dedup {
       bands: Int = 16, rows: Int = 8, shingleSize: Int = 5,
       threshold: Double = 0.7, maxBucketSize: Int = 100000,
       expandExactGroups: Boolean = true): DataFrame = {
+    // fail fast on degenerate knobs: bands = 0 would feed sequence(0, -1)
+    // (Spark infers step -1 → [0, -1]) into the band transform and emit
+    // bogus bucket keys with no error; rows = 0 makes every slice empty so
+    // all docs share one bucket
+    require(bands > 0 && rows > 0 && shingleSize > 0,
+      s"bands/rows/shingleSize must be positive, got $bands/$rows/$shingleSize")
     val numHashes = bands * rows
     // signatures first (narrow per-row pass — same work round 1 did), then
     // collapse by the SIGNATURE itself: identical sigs behave identically
@@ -213,7 +228,9 @@ object Dedup {
     // signature. Member ids are collected only when the expansion needs
     // them (an m-member group's id list is O(m) — bounded by the same
     // clusters the expand mode is already quadratic in).
-    val base = docs.select(col(idCol).as("_id"),
+    // null text cannot be shingled — drop it rather than NPE the signature
+    // UDF and kill the whole run (one null row in a 100-TB corpus)
+    val base = docs.where(col(textCol).isNotNull).select(col(idCol).as("_id"),
       minhashUdf(numHashes, shingleSize)(col(textCol)).as("sig"))
     val (reps, membership) = collapseByKey(base, "sig", "_id", expandExactGroups)
     // band key: hash of the signature slice — one shuffle on (band, key)
@@ -296,7 +313,9 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 100000,
       expandExactGroups: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for hamming ≤ 3")
-    val base = docs.select(col(idCol).as("_id"), simhashUdf(col(textCol)).as("simhash"))
+    // null text cannot be hashed — drop it rather than NPE the UDF
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), simhashUdf(col(textCol)).as("simhash"))
     val (reps, membership) = collapseByKey(base, "simhash", "_id", expandExactGroups)
     val banded = reps.select(col("_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +

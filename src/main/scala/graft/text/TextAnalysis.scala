@@ -29,9 +29,7 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
   /** Occurrences of a literal substring, via length arithmetic (SQL-safe). */
-  def countOccurrences(text: Column, sub: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), ""))) /
-      lit(sub.length)).cast("long")
+  def countOccurrences(text: Column, sub: String): Column = countLit(text, sub)
 
   private def countLit(text: Column, sub: String): Column =
     ((length(text) - length(replaceLit(text, sub))) / lit(sub.length)).cast("long")
@@ -44,16 +42,21 @@ object TextAnalysis {
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokenCount(t)
+    // stopwords counted over the same space-padded text langId uses, so a
+    // document's FIRST and LAST words participate — unpadded, "Of mice and
+    // men" counted 1 stopword instead of 2 and near-threshold docs fell on
+    // the wrong side of cleanCorpus's quality gate
+    val padded = concat(lit(" "), lower(t), lit(" "))
     docs
-      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_tokens", toks.cast("long"))
       .withColumn("mean_word_len",
         (length(t) - (toks - lit(1))).cast("double") / toks.cast("double"))
       .withColumn("punct_count",
         (countLit(t, ".") + countLit(t, ",") + countLit(t, "!") + countLit(t, "?")).cast("long"))
       .withColumn("stopword_count",
-        (countLit(lower(t), " the ") + countLit(lower(t), " a ") +
-          countLit(lower(t), " and ") + countLit(lower(t), " of ")).cast("long"))
+        (countLit(padded, " the ") + countLit(padded, " a ") +
+          countLit(padded, " and ") + countLit(padded, " of ")).cast("long"))
       .withColumn("punct_ratio", col("punct_count").cast("double") / col("n_tokens"))
       .withColumn("stopword_ratio", col("stopword_count").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
@@ -68,8 +71,12 @@ object TextAnalysis {
     * marker hits. Expressible in plain SQL (the oracle reproduces it). */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = concat(lit(" "), lower(col(textCol)), lit(" "))
+    // coalesce: null text null-propagates through every count, and a null
+    // score slides past ALL the when() conditions below (null is not
+    // matched) straight into the otherwise branch — classifying every
+    // null-text document as 'fr'; with scores pinned to 0 it is 'und'
     def score(words: Seq[String]): Column =
-      words.map(w => countLit(t, s" $w ")).reduce(_ + _)
+      coalesce(words.map(w => countLit(t, s" $w ")).reduce(_ + _), lit(0L))
     docs
       .withColumn("score_en", score(Seq("the", "and", "of", "is", "with")))
       .withColumn("score_de", score(Seq("der", "die", "und", "ist", "mit")))
@@ -166,7 +173,11 @@ object TextAnalysis {
     * join key. */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("norm_text", regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      // collapse BEFORE trimming: trim() strips only ASCII spaces, so a
+      // leading/trailing tab or newline survived trim-first and became an
+      // edge space after the collapse — texts differing only in edge
+      // whitespace got different fingerprints, defeating the dedup key
+      .withColumn("norm_text", trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
       .withColumn("fingerprint", md5(col("norm_text")))
       .withColumn("fingerprint16", substring(col("fingerprint"), 1, 16))
       .drop("norm_text")

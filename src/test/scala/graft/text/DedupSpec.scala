@@ -32,6 +32,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(res(4L) === ((4L, false)))
   }
 
+  test("null text: exact() keeps singletons, LSH paths drop the row instead of NPE") {
+    import spark.implicits._
+    val docs = Seq((1L, Option("same")), (2L, Option("same")),
+      (3L, Option.empty[String]), (4L, Option.empty[String])).toDF("doc_id", "text")
+    // two UNKNOWN texts are not duplicates of each other — the null
+    // fingerprint must not form one window partition that marks id 4 a
+    // duplicate of id 3
+    val ex = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(ex(3L) === ((3L, 1L, false)) && ex(4L) === ((4L, 1L, false)))
+    assert(ex(2L) === ((1L, 2L, true)), "real duplicate detection unchanged")
+    // the signature UDFs receive raw Strings — a null row crashed the whole
+    // job before the entry filters
+    assert(Dedup.minhashLsh(docs, bands = 4, rows = 4, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // degenerate knobs fail fast, not garbage output
+    intercept[IllegalArgumentException](Dedup.minhashLsh(docs, bands = 0))
+  }
+
   test("minhash signature: identical texts identical sigs; near dups mostly agree") {
     val s1 = Dedup.minhashSignature(docs.collect()(0).getString(1), 128, 5)
     val s2 = Dedup.minhashSignature(docs.collect()(1).getString(1), 128, 5)

@@ -132,6 +132,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) === ((2L, 2L, "<EMAIL> <EMAIL> <IP> <IP>")))
   }
 
+  test("hostile inputs: null text is 'und' not 'fr'; edge whitespace normalizes; first word counts") {
+    import spark.implicits._
+    // null text: every marker count null-propagates, and a null score used
+    // to slide past all the when() arms into the 'fr' fallback
+    val nulls = Seq((1L, Option.empty[String]), (2L, Option("the cat and the hat is here")))
+      .toDF("doc_id", "text")
+    val langs = TextAnalysis.langId(nulls).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(langs(1L) === "und", "null text must be undetermined, not French")
+    assert(langs(2L) === "en")
+    // fingerprint: trim() strips only spaces, so a trailing tab/newline
+    // must be collapsed BEFORE the trim or it survives as an edge space
+    val fps = TextAnalysis.fingerprint(
+      Seq((1L, "hello world"), (2L, "hello world\n"), (3L, "\thello  world "))
+        .toDF("doc_id", "text")).collect().map(_.getAs[String]("fingerprint"))
+    assert(fps.distinct.length === 1, "edge-whitespace variants must share one fingerprint")
+    // stopwords: the document's FIRST word participates (padded counting)
+    val sw = TextAnalysis.qualityFeatures(Seq((1L, "Of mice and men")).toDF("doc_id", "text"))
+      .collect().head.getAs[Long]("stopword_count")
+    assert(sw === 2L, s"leading 'Of' uncounted: got $sw")
+  }
+
   test("per-row text operators are narrow: zero Exchange in the physical plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for ((name, df) <- Seq(
