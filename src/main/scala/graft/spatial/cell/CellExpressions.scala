@@ -88,23 +88,32 @@ object GeomEval {
     val nRings = rings.numElements()
     while (ri < nRings) {
       val ring = rings.getArray(ri)
-      val n = ring.numElements()
+      // a NULL ring element (hostile/garbage geometry) is SKIPPED, exactly
+      // like a ring with < 3 points — dereferencing it NPE'd the whole
+      // stage from inside generated code; nullSafeEval guards only the
+      // top-level arguments, not array elements
+      val n = if (ring == null) 0 else ring.numElements()
       if (n >= 3) {
         var i = 0
         var j = n - 1
         // skip duplicate closing point so the implicit closing edge isn't counted twice
         val last = ring.getStruct(n - 1, 2)
         val first = ring.getStruct(0, 2)
-        val effN = if (n > 3 && last.getDouble(0) == first.getDouble(0) &&
+        val effN = if (n > 3 && last != null && first != null &&
+          last.getDouble(0) == first.getDouble(0) &&
           last.getDouble(1) == first.getDouble(1)) n - 1 else n
         j = effN - 1
         while (i < effN) {
           val pi = ring.getStruct(i, 2)
           val pj = ring.getStruct(j, 2)
-          val xi = pi.getDouble(0); val yi = pi.getDouble(1)
-          val xj = pj.getDouble(0); val yj = pj.getDouble(1)
-          if (((yi > lat) != (yj > lat)) &&
-              (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+          // a null POINT (garbage geometry) drops its two incident edges
+          // rather than NPE-ing the stage
+          if (pi != null && pj != null) {
+            val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+            val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+            if (((yi > lat) != (yj > lat)) &&
+                (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+          }
           j = i
           i += 1
         }
@@ -222,10 +231,21 @@ object functions {
   /** Register SQL names so `spark.sql` queries can use them too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cell_of", es => CellOfExpr(es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("cell_z", es => CellZExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("cell_parent", es => CellParentExpr(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("haversine_m", es => HaversineExpr(es(0), es(1), es(2), es(3)), "built-in")
-    reg.createOrReplaceTempFunction("point_in_polygon", es => PointInPolygonExpr(es(0), es(1), es(2)), "built-in")
+    // explicit Casts at build time stand in for ExpectsInputTypes (its
+    // AbstractDataType is private to Spark, unavailable to extension
+    // code): without them `SELECT haversine_m(0, 0, 1, 1)` constant-folds
+    // integer literals through nullSafeEval's asInstanceOf[Double] and
+    // throws ClassCastException, while the SAME expression over int
+    // COLUMNS silently works via codegen's primitive widening — behavior
+    // that flips between the interpreted and generated paths. A
+    // double-to-double Cast is optimized away, so typed calls cost nothing.
+    def d(e: Expression): Expression = Cast(e, DoubleType)
+    def i(e: Expression): Expression = Cast(e, IntegerType)
+    def l(e: Expression): Expression = Cast(e, LongType)
+    reg.createOrReplaceTempFunction("cell_of", es => CellOfExpr(d(es(0)), d(es(1)), i(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("cell_z", es => CellZExpr(l(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("cell_parent", es => CellParentExpr(l(es(0)), i(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("haversine_m", es => HaversineExpr(d(es(0)), d(es(1)), d(es(2)), d(es(3))), "built-in")
+    reg.createOrReplaceTempFunction("point_in_polygon", es => PointInPolygonExpr(d(es(0)), d(es(1)), es(2)), "built-in")
   }
 }

@@ -29,8 +29,12 @@ object CellMath {
     (res.toLong << 58) | (x.toLong << 29) | y.toLong
 
   /** (lon,lat) → cell id at resolution res. Points exactly on the +180 /
-    * -90 edges clamp into the last row/column. */
+    * -90 edges clamp into the last row/column. res is validated: at 30+
+    * the x/y bits overflow into the packed resolution field (and >= 32
+    * wraps the Java shift entirely), silently producing corrupt ids whose
+    * equi-joins mismatch — fail loudly instead. */
   def cellOf(lon: Double, lat: Double, res: Int): Long = {
+    require(res >= 0 && res <= MaxRes, s"resolution must be in [0, $MaxRes], got $res")
     val n = 1 << res
     var x = ((lon + 180.0) / 360.0 * n).toInt
     var y = ((90.0 - lat) / 180.0 * n).toInt
@@ -93,20 +97,24 @@ object CellMath {
     (0 to k).flatMap(ring(cell, _)).toArray
 
   /** Minimal cover of a lon/lat bbox at resolution res. Handles the
-    * antimeridian by splitting the lon interval. */
+    * antimeridian by splitting the lon interval. Each index is clamped on
+    * BOTH sides (one-sided clamping left a degenerate bbox exactly on the
+    * lon=180 / lat=-90 edge with an EMPTY cover while cellOf clamps the
+    * matching point inside — the pair silently never joined); an inverted
+    * bbox (min > max on either axis, e.g. bboxOf over empty rings) yields
+    * an empty cover instead of a NegativeArraySizeException. */
   def coverBBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, res: Int): Array[Long] = {
+    require(res >= 0 && res <= MaxRes, s"resolution must be in [0, $MaxRes], got $res")
     val n = 1 << res
+    @inline def clampX(v: Int): Int = if (v < 0) 0 else if (v >= n) n - 1 else v
     def xRange(lo: Double, hi: Double): Range = {
-      var x0 = ((lo + 180.0) / 360.0 * n).toInt
-      var x1 = ((hi + 180.0) / 360.0 * n).toInt
-      if (x0 < 0) x0 = 0
-      if (x1 >= n) x1 = n - 1
+      val x0 = clampX(((lo + 180.0) / 360.0 * n).toInt)
+      val x1 = clampX(((hi + 180.0) / 360.0 * n).toInt)
       x0 to x1
     }
-    var y0 = ((90.0 - maxLat) / 180.0 * n).toInt
-    var y1 = ((90.0 - minLat) / 180.0 * n).toInt
-    if (y0 < 0) y0 = 0
-    if (y1 >= n) y1 = n - 1
+    if (minLat > maxLat) return Array.empty
+    val y0 = clampX(((90.0 - maxLat) / 180.0 * n).toInt)
+    val y1 = clampX(((90.0 - minLat) / 180.0 * n).toInt)
     val xs: Seq[Int] =
       if (minLon <= maxLon) xRange(minLon, maxLon)
       else xRange(minLon, 180.0) ++ xRange(-180.0, maxLon) // antimeridian split

@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   *     "broadcast joins for small polygon sets");
   *   - shuffle: plain cell equi-join, AQE skew-join handles moderate skew;
   *   - salted: hot cells (dense urban tiles) replicated S ways on the
-  *     polygon side, points pick `pmod(hash(ptId), S)` — bounded fan-out
-  *     skew mitigation (north_star "salted repartitioning for hot cells").
+  *     polygon side, points pick `pmod(xxhash64(lon, lat), S)` — bounded
+  *     fan-out skew mitigation (north_star "salted repartitioning for hot
+  *     cells"). Coordinate-hash salting is deterministic across task
+  *     retries (an id column is not guaranteed to exist on the points
+  *     side); the trade is that MANY POINTS STACKED ON ONE EXACT
+  *     COORDINATE share a salt id and are not split — a cell that is hot
+  *     because of coordinate-stacked records (geocoded-to-centroid data)
+  *     needs pre-jittering or a caller-side id-hash salt.
   *
   * All paths produce identical rows (asserted in SpatialJoinSpec).
   */
@@ -40,14 +46,29 @@ object SpatialJoin {
       explode(coverUdf(col("bbox.min_lon"), col("bbox.min_lat"),
         col("bbox.max_lon"), col("bbox.max_lat"), lit(res))))
 
+  /** The polygon side exactly as [[pipJoin]] consumes it, TAGGED with the
+    * resolution it was built at: a prepared side from res 10 silently
+    * matches nothing against point cells encoded at res 12 (packed ids
+    * carry the res), so pipJoin must be able to fail fast on the mismatch
+    * instead of returning an empty join. */
+  final case class PreparedCells private[join] (df: DataFrame, res: Int) {
+    /** Materialize once for reuse across many pipJoin calls. */
+    def localCheckpoint(): PreparedCells = copy(df = df.localCheckpoint())
+  }
+
   /** The polygon side exactly as [[pipJoin]] consumes it (poly_id/poly_tags
     * renames — polygon payload columns pass through without colliding with
     * point-side names — cover-exploded, bbox dropped). localCheckpoint the
-    * result and hand it to many pipJoin calls via `preparedCells`. */
-  def preparedPolygonCells(polys: DataFrame, res: Int): DataFrame =
-    polygonCells(
-      polys.withColumnRenamed("id", "poly_id").withColumnRenamed("tags", "poly_tags"), res)
-      .drop("bbox")
+    * result and hand it to many pipJoin calls via `preparedCells`. Rows
+    * with a null bbox are dropped: the cover UDF takes primitive doubles,
+    * so a null field would be silently coerced to 0.0 and the polygon
+    * covered at (0, 0) instead of its true location. */
+  def preparedPolygonCells(polys: DataFrame, res: Int): PreparedCells =
+    PreparedCells(polygonCells(
+      polys.withColumnRenamed("id", "poly_id").withColumnRenamed("tags", "poly_tags")
+        .where(col("bbox.min_lon").isNotNull && col("bbox.min_lat").isNotNull &&
+          col("bbox.max_lon").isNotNull && col("bbox.max_lat").isNotNull), res)
+      .drop("bbox"), res)
 
   /** Point-in-polygon join.
     *
@@ -64,13 +85,17 @@ object SpatialJoin {
     *                localCheckpointed) to reuse ONE cover explosion across
     *                many pipJoin calls over the same polygons — a bucketed
     *                pipeline otherwise re-explodes the full polygon set per
-    *                bucket job; `polys` is ignored when set
+    *                bucket job; `polys` is ignored when set, and the
+    *                prepared resolution must equal `res` (enforced)
     */
   def pipJoin(points: DataFrame, polys: DataFrame, res: Int = 12,
       mode: String = "shuffle", salt: Int = 8,
       hotCellThreshold: Long = 100000L,
-      preparedCells: Option[DataFrame] = None): DataFrame = {
-    val polyCells = preparedCells.getOrElse(preparedPolygonCells(polys, res))
+      preparedCells: Option[PreparedCells] = None): DataFrame = {
+    preparedCells.foreach(pc => require(pc.res == res,
+      s"preparedCells built at res ${pc.res} but pipJoin called with res $res — " +
+        "the cell equi-join would silently match nothing"))
+    val polyCells = preparedCells.map(_.df).getOrElse(preparedPolygonCells(polys, res).df)
     val pts = points.withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
     val exact = F.point_in_polygon(col("lon"), col("lat"), col("rings"))
 
@@ -176,18 +201,30 @@ object SpatialJoin {
     // except the result's own blocks (CheckpointTracker scaladoc).
     val ckpt = new graft.util.CheckpointTracker(spark)
     import ckpt.track
-    {
+    // fail on the driver, not as per-row executor exceptions inside the
+    // aggregate (TopKAgg's empty-buffer fast path)
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the finally below releases the POI cache and this call's checkpoint
+    // blocks on EVERY exit — a mid-loop task failure would otherwise leave
+    // them pinned for the session lifetime (the round-1 leak)
+    var outJ: DataFrame = null
     val diskUdf = udf((cell: Long, r: Int) => CellMath.disk(cell, r))
     val topkUdaf = udaf(new TopKAgg(k))
+    // rows with null coordinates cannot be placed in a cell — dropped here;
+    // the cell/disk UDFs take primitive params, so a null would otherwise
+    // be silently coerced to 0.0 and join at (0, 0) in the Gulf of Guinea
     val poiCells = poisL
+      .where(col("lon").isNotNull && col("lat").isNotNull)
       .select(col("poi_id"), col("lon").as("poi_lon"), col("lat").as("poi_lat"))
       .withColumn("cell", F.cell_of(col("poi_lon"), col("poi_lat"), res))
       .cache()
+    try {
 
     val cellHeightDeg = 180.0 / (1 << res)
     val metersPerDeg = 111194.9
 
     var active = track(pointsL
+      .where(col("lon").isNotNull && col("lat").isNotNull)
       .select(col("pt_id"), col("lon"), col("lat"))
       .withColumn("cell", F.cell_of(col("lon"), col("lat"), res))
       .localCheckpoint())
@@ -283,10 +320,12 @@ object SpatialJoin {
         .withColumn("dist_m", lit(0.0))
         .withColumn("rank", lit(1).cast("int"))
     }
-    poiCells.unpersist()
-    val out = results.localCheckpoint() // eager: result blocks materialized
-    ckpt.freeAllExcept(out)
-    org.apache.spark.sql.graftbridge.SessionBridge.ofRows(caller, out)
+    outJ = results.localCheckpoint() // eager: result blocks materialized
+    org.apache.spark.sql.graftbridge.SessionBridge.ofRows(caller, outJ)
+    } finally {
+      poiCells.unpersist()
+      if (outJ != null) ckpt.freeAllExcept(outJ)
+      else ckpt.freeAllExcept(Set.empty[Int])
     }
   }
 

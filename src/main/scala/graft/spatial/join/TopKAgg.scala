@@ -20,21 +20,33 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class KnnCand(dist: Double, id: Long)
 
 class TopKAgg(k: Int) extends Aggregator[KnnCand, Seq[KnnCand], Seq[KnnCand]] {
+  // fail on the driver at construction, not as a per-row NoSuchElementException
+  // (buf.last on empty) deep inside executor-side shuffle tasks
+  require(k >= 1, s"k must be >= 1, got $k")
+
   override def zero: Seq[KnnCand] = Vector.empty
+
+  // NaN-AWARE ordering (Double.compare ranks NaN greatest, NaN == NaN):
+  // with raw </==, every comparison against a NaN distance is false, so a
+  // NaN candidate (one POI with corrupt coordinates) inserted at position
+  // 0 and was reported as the rank-1 nearest neighbour — the window
+  // oracle this aggregator must match sorts NaN LAST.
+  private def cmp(a: Double, b: Double): Int = java.lang.Double.compare(a, b)
 
   private def insert(buf: Seq[KnnCand], c: KnnCand): Seq[KnnCand] = {
     // O(1) reject for the common case: buffer full and candidate sorts
     // after the current k-th — no allocation on the hot path
     if (buf.size == k) {
       val last = buf.last
-      if (c.dist > last.dist || (c.dist == last.dist && c.id >= last.id)) return buf
+      if (cmp(c.dist, last.dist) > 0 || (cmp(c.dist, last.dist) == 0 && c.id >= last.id)) return buf
     }
     if (buf.exists(_.id == c.id)) buf
     else {
       // buf is already sorted: single-position insertion, no re-sort
       var pos = 0
       while (pos < buf.size &&
-        (buf(pos).dist < c.dist || (buf(pos).dist == c.dist && buf(pos).id < c.id))) pos += 1
+        (cmp(buf(pos).dist, c.dist) < 0 ||
+          (cmp(buf(pos).dist, c.dist) == 0 && buf(pos).id < c.id))) pos += 1
       val merged = (buf.take(pos) :+ c) ++ buf.drop(pos)
       if (merged.size > k) merged.take(k) else merged
     }

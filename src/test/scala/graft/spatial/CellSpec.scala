@@ -156,4 +156,42 @@ class CellSpec extends AnyFunSuite with GenSupport with SparkTestBase {
     val r = spark.sql("SELECT cell_of(cast(10.0 as double), cast(20.0 as double), 8) c").collect().head.getLong(0)
     assert(r === CellMath.cellOf(10.0, 20.0, 8))
   }
+
+  test("SQL functions coerce integer literals instead of ClassCastException at fold time") {
+    graft.spatial.cell.functions.register(spark)
+    // without build-time Casts, constant folding routed java.lang.Integer
+    // through nullSafeEval's asInstanceOf[Double] and threw — while the
+    // same call over int COLUMNS silently worked via codegen widening
+    val d = spark.sql("SELECT haversine_m(0, 0, 0, 1) AS d").collect().head.getDouble(0)
+    assert(math.abs(d - 111194.9) < 100.0)
+    assert(spark.sql("SELECT cell_of(10, 20, 8) c").collect().head.getLong(0) ===
+      CellMath.cellOf(10.0, 20.0, 8))
+  }
+
+  test("hostile inputs: res bounds enforced; edge and inverted bboxes; null rings skipped") {
+    // res >= 30 spills x/y bits into the packed resolution field — corrupt
+    // ids whose joins silently mismatch; must throw instead
+    intercept[IllegalArgumentException](CellMath.cellOf(0.0, 0.0, 30))
+    intercept[IllegalArgumentException](CellMath.cellOf(0.0, 0.0, -1))
+    // a degenerate bbox exactly on the lon=180 edge must cover the same
+    // cell cellOf clamps the matching point into (one-sided clamping gave
+    // an EMPTY cover and the pair never joined)
+    assert(CellMath.coverBBox(180.0, 10.0, 180.0, 10.0, 4)
+      .contains(CellMath.cellOf(180.0, 10.0, 4)))
+    assert(CellMath.coverBBox(-180.0, -90.0, -180.0, -90.0, 4)
+      .contains(CellMath.cellOf(-180.0, -90.0, 4)))
+    // inverted lat bbox (bboxOf over empty rings): empty cover, not
+    // NegativeArraySizeException
+    assert(CellMath.coverBBox(0.0, 50.0, 1.0, 40.0, 4).isEmpty)
+    // a NULL ring (or a null point) in the rings array is skipped, not an
+    // NPE inside generated code
+    graft.spatial.cell.functions.register(spark)
+    val inside = spark.sql(
+      """SELECT point_in_polygon(0.5D, 0.5D, array(
+        |  array(named_struct('lon', 0D, 'lat', 0D), named_struct('lon', 1D, 'lat', 0D),
+        |        named_struct('lon', 1D, 'lat', 1D), named_struct('lon', 0D, 'lat', 1D)),
+        |  CAST(NULL AS ARRAY<STRUCT<lon: DOUBLE, lat: DOUBLE>>))) AS p""".stripMargin)
+      .collect().head.getBoolean(0)
+    assert(inside, "null hole ring must be ignored, square still contains the point")
+  }
 }

@@ -5,7 +5,7 @@ import graft.fixtures.OsmWorld
 import graft.osmpbf.source.OsmPbf
 import graft.spatial.cell.GeomEval
 import graft.spatial.geom.Assembly
-import graft.spatial.join.SpatialJoin
+import graft.spatial.join.{KnnCand, SpatialJoin, TopKAgg}
 import graft.tiles.{Images, Tiles}
 
 import org.apache.spark.sql.DataFrame
@@ -86,6 +86,37 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
     val out = SpatialJoin.knnJoin(noPts, pois, k = 1)
     assert(out.columns.toSeq === Seq("pt_id", "poi_id", "dist_m", "rank"))
     assert(out.count() === 0)
+  }
+
+  test("J4 hostile inputs: NaN distances rank last, null coords drop, k and res validated") {
+    import spark.implicits._
+    // TopKAgg: raw </== comparisons are always false against NaN, which
+    // used to prepend a NaN candidate at rank 1 — the window oracle sorts
+    // NaN last
+    val agg = new TopKAgg(2)
+    val buf = Seq(KnnCand(Double.NaN, 1L), KnnCand(5.0, 2L), KnnCand(7.0, 3L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf.map(_.id) === Seq(2L, 3L), s"NaN outranked real distances: $buf")
+    assert(agg.merge(Seq(KnnCand(Double.NaN, 9L)), Seq(KnnCand(1.0, 2L)))
+      .head.id === 2L)
+    intercept[IllegalArgumentException](new TopKAgg(0))
+    intercept[IllegalArgumentException](
+      SpatialJoin.knnJoin(Seq((1L, 0.0, 0.0)).toDF("pt_id", "lon", "lat"),
+        Seq((1L, 0.0, 0.0)).toDF("poi_id", "lon", "lat"), k = 0))
+    // null coordinates drop instead of coercing to 0.0 (Gulf of Guinea)
+    val pts = Seq((1L, Option(0.5), Option(0.5)), (2L, Option.empty[Double], Option(1.0)))
+      .toDF("pt_id", "lon", "lat")
+    val pois = Seq((10L, Option(0.4), Option(0.4)), (11L, Option.empty[Double], Option(0.0)))
+      .toDF("poi_id", "lon", "lat")
+    val knn = SpatialJoin.knnJoin(pts, pois, k = 1).collect()
+    assert(knn.map(_.getLong(0)).toSet === Set(1L), "null-coordinate point must drop")
+    assert(knn.head.getLong(1) === 10L, "null-coordinate POI must never match")
+    // a prepared polygon side from the WRONG resolution fails fast instead
+    // of silently joining nothing
+    val pc = SpatialJoin.preparedPolygonCells(polys, res = 10)
+    intercept[IllegalArgumentException](
+      SpatialJoin.pipJoin(pts.where(col("lon").isNotNull), polys, res = 12,
+        preparedCells = Some(pc)))
   }
 
   test("J2 super-relation (relation-of-relations) resolves to depth 2 with all rings") {
