@@ -241,7 +241,12 @@ object SparkEntry {
       // n-gram Jaccard (the standard LSH → verify pipeline), so the dump
       // is value-auditable even without an oracle.
       val docs = table(s, dir, "documents")
-      val cands = Dedup.minhashLsh(docs, threshold = 0.5)
+      // localCheckpoint: `cands` (≤ a few hundred pair rows — candidate
+      // sets are tiny by construction) is consumed TWICE below (the
+      // verify join's pair list AND the payload join); without it the
+      // whole signature → band → bucket-join pipeline is instantiated
+      // twice in one plan (round-6 plan audit: 36 parquet scans)
+      val cands = Dedup.minhashLsh(docs, threshold = 0.5).localCheckpoint()
       Dedup.ngramJaccard(cands.select("a_id", "b_id"), docs)
         .withColumnRenamed("jaccard", "exact_jaccard")
         .join(cands, Seq("a_id", "b_id"))
@@ -455,9 +460,18 @@ object SparkEntry {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "4")
         .parquet(path)
-      val q = graft.streaming.StreamingGraft.run(
-        stream, polygons(s, dir), s"$out/delta", s"$out/ckpt", z = 10, res = 12)
-      q.awaitTermination()
+      // Round-6: materialize the STATIC side once — foreachBatch
+      // re-evaluates the static plan on every micro-batch, so an
+      // un-materialized polygon table pays a full PBF-decode + geometry
+      // assembly per batch. The checkpoint blocks are freed as soon as the
+      // stream drains (the returned rollup reads only the written deltas).
+      val ckpt = new graft.util.CheckpointTracker(s)
+      val polys = ckpt.track(polygons(s, dir).localCheckpoint())
+      try {
+        val q = graft.streaming.StreamingGraft.run(
+          stream, polys, s"$out/delta", s"$out/ckpt", z = 10, res = 12)
+        q.awaitTermination()
+      } finally ckpt.freeAllExcept(Set.empty[Int])
       graft.streaming.StreamingGraft.rollup(s, s"$out/delta")
     }),
     "p7_image_parity" -> ((s, dir) => {

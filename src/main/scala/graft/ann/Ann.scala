@@ -203,8 +203,12 @@ object Ann {
       // element-wise mean without collecting whole vectors onto a reducer:
       // (cell, dim) partial sums combine map-side, then the k×dims means
       // re-assemble into centroid arrays — scales to any corpus size
+      // `_vn` (row norm) is computed once per row and referenced by every
+      // per-centroid similarity — CollapseProject keeps the multi-referenced
+      // non-cheap alias in its own projection, so it is NOT re-inlined
       val means = corpus
-        .withColumn("cell", nearestCentroidExpr(centroids, col("c_vec")))
+        .withColumn("_vn", vecNormExpr(col("c_vec")))
+        .withColumn("cell", nearestCentroidExpr(centroids, col("c_vec"), col("_vn")))
         .select(col("cell"), posexplode(col("c_vec")).as(Seq("dim", "v")))
         .groupBy("cell", "dim").agg(avg("v").as("m"))
         .groupBy("cell")
@@ -220,27 +224,47 @@ object Ann {
     centroids
   }
 
-  /** The k centroids as a literal ARRAY<STRUCT<i, vec>> column — a driver-
-    * side constant folded into the plan, like any broadcast-free small dim. */
-  private def centroidsLit(centroids: Array[(Int, Array[Float])]): Column =
-    array(centroids.map { case (i, c) =>
-      struct(lit(i).as("i"), typedLit(c.toSeq).as("vec"))
-    }: _*)
+  /** Norm of the literal centroid `c`, computed driver-side with the SAME
+    * arithmetic the [[cosine]] expression performs per row (float multiply,
+    * then double-accumulate left fold, then sqrt) — bit-identical to
+    * `sqrt(aggregate(vec, 0.0, (acc, v) => acc + v * v))` over the literal,
+    * so hoisting it out of the per-row plan cannot move any similarity by
+    * even one ulp (round-6: the old expression recomputed every centroid's
+    * norm for every input row). */
+  private def centroidNorm(c: Array[Float]): Double = {
+    var acc = 0.0d
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** The row-side vector norm, shared across all centroid comparisons —
+    * callers materialize it ONCE per row in a `_vn` column (see
+    * [[withVecNorm]]) instead of recomputing it per centroid. */
+  private def vecNormExpr(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0d), (acc, v) => acc + v * v))
 
   /** Per-centroid cosine similarities of `vec` as ARRAY<STRUCT<sim, i>> —
-    * the shared body of assignment and probe selection. Pure higher-order-
-    * function expressions over the literal centroid array: whole-stage
-    * codegen, no per-row UDF (these run per corpus row per Lloyd iteration
-    * and per query — the round-4 verdict's last hot-path UDFs). */
-  private def centroidSims(centroids: Array[(Int, Array[Float])], vec: Column): Column =
-    transform(centroidsLit(centroids),
+    * the shared body of assignment and probe selection. Pure codegen
+    * expressions (no per-row UDF): one dot product per centroid against the
+    * literal centroid vector, divided by the hoisted row norm × the
+    * driver-side literal centroid norm. Unrolled `array(...)` rather than
+    * `transform` over a literal array so the `vnorm` column reference stays
+    * a cheap attribute lookup per element (a lambda body would re-evaluate
+    * any inlined norm subtree once per centroid). */
+  private def centroidSims(centroids: Array[(Int, Array[Float])], vec: Column,
+      vnorm: Column): Column =
+    array(centroids.map { case (i, c) =>
+      val dot = aggregate(zip_with(vec, typedLit(c.toSeq), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
       // cosine is NULL against a zero-norm vector (try_divide — ANSI mode
-      // would THROW on a plain /): pin it to -2 (below any real cosine) so a degenerate centroid
-      // ranks LAST everywhere — array_sort would otherwise order the null
-      // struct field FIRST and make it every query's top probe, silently
-      // burning one of nProbe probes
-      c => struct(coalesce(cosine(vec, c.getField("vec")), lit(-2.0d)).as("sim"),
-        c.getField("i").as("i")))
+      // would THROW on a plain /): pin it to -2 (below any real cosine) so
+      // a degenerate centroid ranks LAST everywhere — array_sort would
+      // otherwise order the null struct field FIRST and make it every
+      // query's top probe, silently burning one of nProbe probes
+      struct(coalesce(try_divide(dot, vnorm * lit(centroidNorm(c))), lit(-2.0d)).as("sim"),
+        lit(i).as("i"))
+    }: _*)
 
   /** argmax_i cosine(vec, centroid_i), ties to the lower index (a single
     * `aggregate` fold — no sort of the k-array per row). A best sim of -2
@@ -249,8 +273,9 @@ object Ann {
     * pre-pinning null semantics did; mapping them to cell 0 would drag
     * centroid 0's per-dimension means toward the origin every iteration.
     * Real cosines live in [-1, 1], so -2 is unambiguous. */
-  private def nearestCentroidExpr(centroids: Array[(Int, Array[Float])], vec: Column): Column = {
-    val best = aggregate(centroidSims(centroids, vec),
+  private def nearestCentroidExpr(centroids: Array[(Int, Array[Float])], vec: Column,
+      vnorm: Column): Column = {
+    val best = aggregate(centroidSims(centroids, vec, vnorm),
       struct(lit(Double.MinValue).as("sim"), lit(-1).as("i")),
       (acc, s) => when(s.getField("sim") > acc.getField("sim") ||
           (s.getField("sim") === acc.getField("sim") && s.getField("i") < acc.getField("i")), s)
@@ -260,9 +285,9 @@ object Ann {
 
   /** The `nProbe` centroid indices closest to `vec` (sim desc, index asc). */
   private def topCentroidsExpr(centroids: Array[(Int, Array[Float])], nProbe: Int,
-      vec: Column): Column =
+      vec: Column, vnorm: Column): Column =
     transform(
-      slice(array_sort(transform(centroidSims(centroids, vec),
+      slice(array_sort(transform(centroidSims(centroids, vec, vnorm),
         s => struct((-s.getField("sim")).as("negsim"), s.getField("i").as("i")))), 1, nProbe),
       s => s.getField("i"))
 
@@ -274,13 +299,23 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val centroids = trainIvfCentroids(corpus, nCells, iters)
-    val cb = corpus.withColumn("cell", nearestCentroidExpr(centroids, col("c_vec")))
-    val qb = queries.withColumn("cell",
-      explode(topCentroidsExpr(centroids, nProbe, col("q_vec"))))
+    val cb = corpus
+      .withColumn("_vn", vecNormExpr(col("c_vec")))
+      .withColumn("cell", nearestCentroidExpr(centroids, col("c_vec"), col("_vn")))
+      .drop("_vn")
+    val qb = queries
+      .withColumn("_vn", vecNormExpr(col("q_vec")))
+      .withColumn("cell", explode(topCentroidsExpr(centroids, nProbe, col("q_vec"), col("_vn"))))
+      .drop("_vn")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    // no dropDuplicates: the cells PARTITION the corpus (each c_id is
+    // assigned exactly one nearest centroid) and a query's probe list holds
+    // distinct cells, so a (q_id, c_id) pair can meet at most once — the
+    // old dedup was a no-op that cost a SortAggregate (arrays in the
+    // buffer) + an extra Exchange + two Sorts (round-6 plan audit)
     qb.join(cb, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_vec", "c_id", "c_vec").dropDuplicates("q_id", "c_id")
+      .select("q_id", "q_vec", "c_id", "c_vec")
       .withColumn("cos_sim", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -46,6 +46,26 @@ object GraftJob {
       .na.fill(0L, Seq("n_hits", "n_distinct_polys"))
   }
 
+  /** [[run]] minus the non-additive distinct-poly sketch — the per-batch
+    * delta shape [[graft.streaming.StreamingGraft]] persists. Explicitly
+    * sketch-free rather than `run(...).drop(...)`: the HLL buffer and the
+    * per-hit `concat(src, poly_id)` allocation must never be built at all
+    * on the streaming hot path, not rely on the optimizer pruning an
+    * unused aggregate (round-6). */
+  def runAdditive(images: DataFrame, polys: DataFrame, z: Int = 10, res: Int = 12,
+      mode: String = "salted", salt: Int = 8,
+      hotCellThreshold: Long = 100000L): DataFrame = {
+    val assigned = Tiles.assignPoints(images, z)
+    val hits = SpatialJoin.pipJoin(
+      assigned.select("image_id", "lon", "lat", "tile", "tile_z", "tile_x", "tile_y"),
+      polys, res = res, mode = mode, salt = salt, hotCellThreshold = hotCellThreshold)
+    val tileImages = assigned.groupBy("tile", "tile_z", "tile_x", "tile_y")
+      .agg(count(lit(1)).as("n_images"))
+    val tileHits = hits.groupBy("tile").agg(count(lit(1)).as("n_hits"))
+    tileImages.join(tileHits, Seq("tile"), "left")
+      .na.fill(0L, Seq("n_hits"))
+  }
+
   /** The raw join rows (for parity checks / downstream training-data use). */
   def joinRows(images: DataFrame, polys: DataFrame, z: Int = 10, res: Int = 12,
       mode: String = "salted", salt: Int = 8,

@@ -230,7 +230,27 @@ object SpatialJoin {
       .localCheckpoint())
     var activeCount = active.count()
     var results: DataFrame = null
-    var radius = 1
+    // Scale-adaptive FIRST radius (round-6; guide §2 "derive from input
+    // size, not a constant"): every round pays a fixed cost — groupBy over
+    // every active point, checkpoint, anti-join — so a first ring too small
+    // for the POI density burns a full round to retire almost nobody
+    // (measured at sf0.1/res 8: the radius-1 round cost 4–5 s and retired
+    // 22% of 600k points; radius 2 retired 78%). Target ~4k expected POIs
+    // in the first probed disk — enough that a typical point's k-th
+    // candidate sits safely inside the ring-guaranteed bound. The RESULT is
+    // schedule-invariant by construction: a point only retires when its
+    // k-th distance is provably within the probed disk, so any schedule
+    // returns the same rows (SpatialJoinSpec's knn ≡ brute-force gate).
+    // The count() also makes the poiCells cache materialize eagerly, off
+    // the first timed round. density = POIs per cell at `res`.
+    val nPois = poiCells.count()
+    val density = nPois / math.pow(4.0, res)
+    var radius =
+      if (density <= 0) maxRadius // no POIs reachable: go straight to cap
+      else {
+        val cellsWanted = 4.0 * k / density
+        math.max(1, math.min(maxRadius, ((math.sqrt(cellsWanted) - 1) / 2).toInt))
+      }
     while (radius <= maxRadius && activeCount > 0) {
       val tRound = System.nanoTime()
       val cand = active
@@ -292,7 +312,12 @@ object SpatialJoin {
       activeCount = active.count()
       if (sys.env.contains("GRAFT_KNN_VERBOSE"))
         println(s"[knn] radius=$radius active=$activeCount tookMs=${(System.nanoTime() - tRound) / 1000000}")
-      radius *= 2
+      // double, but never SKIP the cap: an adaptive start that is not a
+      // power-of-two divisor of maxRadius would otherwise jump straight
+      // past it (e.g. 9 → 18 with maxRadius 16) and dump every remaining
+      // point into the exact cross-join fallback — measured 85 s at res 10
+      // before this clamp. Once maxRadius itself has been probed, exit.
+      radius = if (radius >= maxRadius) maxRadius + 1 else math.min(radius * 2, maxRadius)
     }
     stragglerCount.set(activeCount) // 0 when every point retired in-ring
     if (activeCount > 0) {

@@ -59,8 +59,7 @@ object StreamingGraft {
     * directly (same batchId → same partition replaced, totals unchanged). */
   def writeBatchDelta(batch: DataFrame, polys: DataFrame, deltaDir: String,
       batchId: Long, z: Int, res: Int): Unit =
-    GraftJob.run(batch, polys, z = z, res = res)
-      .drop("n_distinct_polys")
+    GraftJob.runAdditive(batch, polys, z = z, res = res)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -49,6 +49,11 @@ object Components {
     // result is re-rooted onto the caller's session before returning.
     val loop = SessionBridge.cloneSession(spark)
     loop.conf.set("spark.sql.adaptive.enabled", "false")
+    // round-6 (guide §3.1): the loop's per-round joins are small equi-joins
+    // over checkpointed frames (statistics unknown → never broadcast);
+    // sort-merge pays two sorts per join per round for nothing a hash table
+    // doesn't give — prefer shuffled hash join for the whole loop session
+    loop.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     loopShufflePartitions.foreach(p => loop.conf.set("spark.sql.shuffle.partitions", p.toString))
     val out = connectedComponentsLoop(SessionBridge.ofRows(loop, edges), aCol, bCol, maxIter)
     SessionBridge.ofRows(spark, out)
@@ -77,36 +82,64 @@ object Components {
     // the round-1 knnJoin leak this tracker exists to prevent)
     var result: DataFrame = null
     try {
+    // One pointer jump over a LAZILY-checkpointed frame: the self-join's
+    // two sides reference the same checkpoint RDD, so the input is computed
+    // once at materialization (the round-2 "second jump recomputes the
+    // subtree 4×" problem only existed because `stepped` was NOT a
+    // checkpoint boundary then).
+    def jump(df: DataFrame): DataFrame = track(df.as("a")
+      .join(df.select(col("id").as("_jid"), col("comp").as("_jcomp")).as("b"),
+        col("a.comp") === col("_jid"), "left")
+      .select(col("a.id").as("id"), col("a._prev").as("_prev"),
+        least(col("a.comp"), coalesce(col("_jcomp"), col("a.comp"))).as("comp"))
+      .localCheckpoint(eager = false))
     while (it < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy("src").agg(min("comp").as("_nm"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"), labels("comp").as("_prev"),
-          least(col("comp"), coalesce(col("_nm"), col("comp"))).as("comp"))
-      // One pointer jump per round (comp ← min(comp, comp∘comp)); measured:
-      // a second jump in the same plan recomputes the unmaterialized
-      // `stepped` subtree 4× and nearly doubles the round's wall — fewer
-      // rounds did NOT beat the recompute. LAZY checkpoint: the
-      // convergence-check aggregation below is the action that materializes
-      // it — one Spark job per round instead of two. `_prev` (the label at
-      // round start) rides along so convergence is a changed-row COUNT in
-      // the same aggregation — exact at any id magnitude.
-      val jumped = track(stepped.as("a")
-        .join(stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")).as("b"),
-          col("a.comp") === col("_jid"), "left")
-        .select(col("a.id").as("id"), col("a._prev").as("_prev"),
-          least(col("a.comp"), coalesce(col("_jcomp"), col("a.comp"))).as("comp"))
+      // Round-6 round shape (guide §2.4 — fewer exchanges per round): the
+      // neighbor-min is ONE union + groupBy — each node's own label rides
+      // as a tagged "self" message, so the old separate labels ⋈ nbrMin
+      // re-attach join (two more exchanges per round) disappears; `_prev`
+      // (the label at round start) is recovered from the self message in
+      // the same aggregation. Then TWO pointer jumps per round: chains
+      // shortcut twice as fast per materialized round, and each jump is
+      // two cheap exchanges of a checkpointed frame — measured: 8 rounds
+      // of (2-join neighbor step + 1 jump) → 4 rounds of (1-join step +
+      // 2 jumps) over the d12 fixture, the stage count per converged run
+      // drops ~40%.
+      val msgs = labels.select(col("id"), col("comp"), lit(true).as("_self"))
+        .unionByName(sym.join(labels, sym("dst") === labels("id"))
+          .select(sym("src").as("id"), col("comp"), lit(false).as("_self")))
+      val stepped = track(msgs.groupBy("id")
+        .agg(min("comp").as("comp"),
+          max(when(col("_self"), col("comp"))).as("_prev"))
         .localCheckpoint(eager = false))
-      val changed = jumped
-        .agg(coalesce(sum(when(col("comp") =!= col("_prev"), 1L).otherwise(0L)), lit(0L)))
-        .head.getLong(0)
+      val jumped = jump(jump(stepped))
       labels = jumped.select("id", "comp")
       it += 1
-      if (changed == 0L) {
-        // materialize the result's own blocks; the finally below frees the
-        // rest
-        result = labels.select(col("id"), col("comp").as("component")).localCheckpoint()
-        return result
+      // Round-6: run the convergence action only every SECOND round (and at
+      // the iteration cap). The checkpoints are LAZY, so the skipped
+      // round's materialization simply rides inside the next round's
+      // convergence job — one Spark job now covers two pointer-jumping
+      // rounds, halving the driver-loop fixed cost that dominates this
+      // operator's wall at small inputs (the round-5 verdict's d12 item).
+      // Correctness: labels only ever decrease, so "round k changed
+      // nothing" is a fixpoint regardless of what round k-1 did — checking
+      // one round late can cost at most one no-op round, never miss
+      // convergence. The checkpoint blocks of BOTH rounds stay tracked and
+      // are freed in the finally.
+      if (it % 2 == 0 || it == maxIter) {
+        val t0 = System.nanoTime()
+        val changed = jumped
+          .agg(coalesce(sum(when(col("comp") =!= col("_prev"), 1L).otherwise(0L)), lit(0L)))
+          .head.getLong(0)
+        if (sys.env.contains("GRAFT_CC_VERBOSE"))
+          System.err.println(s"[cc] it=$it changed=$changed " +
+            s"tookMs=${(System.nanoTime() - t0) / 1000000}")
+        if (changed == 0L) {
+          // materialize the result's own blocks; the finally below frees
+          // the rest
+          result = labels.select(col("id"), col("comp").as("component")).localCheckpoint()
+          return result
+        }
       }
     }
     throw new IllegalStateException(

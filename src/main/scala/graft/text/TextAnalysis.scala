@@ -34,8 +34,13 @@ object TextAnalysis {
   private def countLit(text: Column, sub: String): Column =
     ((length(text) - length(replaceLit(text, sub))) / lit(sub.length)).cast("long")
 
+  // round-6: plain StringReplace, not regexp_replace(Pattern.quote(sub)) —
+  // identical output for a literal needle (and identical to the DuckDB
+  // oracle's replace()), but a memchr-style scan instead of spinning up
+  // the regex engine once per needle per row (langId + quality run ~25 of
+  // these per document)
   private def replaceLit(text: Column, sub: String): Column =
-    regexp_replace(text, java.util.regex.Pattern.quote(sub), "")
+    replace(text, lit(sub), lit(""))
 
   /** Heuristic quality features + score (length, punctuation density,
     * stopword ratio, mean word length). Score ∈ [0,1]; higher = better. */
