@@ -167,7 +167,19 @@ object Dedup {
       keepMembers: Boolean, keepKeyInMembers: Boolean = false): (DataFrame, Option[DataFrame]) = {
     val aggs = min(idCol).as("_repid") +:
       (if (keepMembers) Seq(collect_list(idCol).as("_ids")) else Seq.empty)
-    val grouped = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val grouped0 = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    // Round-6: in expand mode `grouped` feeds BOTH the reps side and the
+    // member explode, and the member frame is consumed up to four times by
+    // pair expansion — without a materialization the whole upstream
+    // signature/collapse pipeline is re-instantiated per consumer (e3's
+    // executed plan: 22 parquet scans, 3 reused nodes). Expand mode is the
+    // documented NON-100-TB path (reps-only mode is the scale mode and
+    // stays un-materialized, where the single consumer makes a checkpoint
+    // pure overhead), so a collapsed-corpus-sized localCheckpoint is in
+    // contract. The blocks live until the session drops them — bounded by
+    // one row per distinct key, the same frame the expansion must hold to
+    // answer at all.
+    val grouped = if (keepMembers) grouped0.localCheckpoint() else grouped0
     val reps = grouped.select(col("_repid").as(idCol), col(keyCol))
     val members =
       if (!keepMembers) None
