@@ -120,15 +120,12 @@ object Assembly {
     val wg = wayGeometries(nodes, ways).cache()
     val fromWays = polygonsFromWays(wg).withColumn("src", lit("way"))
     val fromRels = polygonsFromRelations(relations, wg).withColumn("src", lit("relation"))
-    // round-6: cache the ASSEMBLED table too, not only the way-geometry
-    // intermediate — the relation-side assembly (two PBF scans + four
-    // small shuffles + ring/bbox folds) was re-executed on every
-    // downstream evaluation even with wg cached, which is exactly the
-    // steady-state this function's contract describes as cached (polygon
-    // geometry is the SMALL side at planet scale; Spark's CacheManager
-    // dedupes by canonical plan, so every polygons() call over the same
-    // inputs shares one entry). First use still computes everything from
-    // the PBF inputs.
-    fromWays.unionByName(fromRels).cache()
+    // round-6 note: caching the assembled union here was TRIED and
+    // reverted — single-evaluation consumers (the p4/p5-shaped queries)
+    // paid ~+0.4 s building + columnar-reading the nested ring arrays for
+    // nothing, while the only genuine multi-evaluation consumer (the
+    // streaming graft's per-micro-batch static side) is better served by a
+    // caller-scoped localCheckpoint it can free when the stream drains.
+    fromWays.unionByName(fromRels)
   }
 }

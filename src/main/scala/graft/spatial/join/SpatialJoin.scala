@@ -192,6 +192,11 @@ object SpatialJoin {
     val caller = points.sparkSession
     val spark = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(caller)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // round-6 (guide §3.1): the loop's per-round active/safe anti-joins run
+    // over checkpointed frames whose stats are unknown (never broadcast,
+    // AQE off) — sort-merge paid two 600k-row sorts per round for what a
+    // hash table answers; prefer shuffled hash join for the loop session
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     val pointsL = org.apache.spark.sql.graftbridge.SessionBridge.ofRows(spark, points)
     val poisL = org.apache.spark.sql.graftbridge.SessionBridge.ofRows(spark, pois)
     import spark.implicits._
@@ -257,16 +262,30 @@ object SpatialJoin {
         .withColumn("probe", explode(array_distinct(diskUdf(col("cell"), lit(radius)))))
         .join(poiCells.withColumnRenamed("cell", "probe"), Seq("probe"))
         .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
+        .select(col("pt_id"), col("lon"), col("lat"), col("cell"),
+          col("dist_m"), col("poi_id"))
+      // One synthetic keep-alive row per active point (null candidate,
+      // skipped by TopKAgg.reduce): the inner probe join alone loses points
+      // whose disk matched nothing, which round-5 recovered with a per-round
+      // anti-join + a SECOND full checkpoint of the shrunken active set.
+      // With every point guaranteed a group, the next-active set is a
+      // cheap filter over THIS round's one checkpoint (round-6, guide §2.4
+      // — one materialization and zero extra joins per round).
+      val keepAlive = active.select(col("pt_id"), col("lon"), col("lat"), col("cell"),
+        lit(null).cast("double").as("dist_m"), lit(null).cast("long").as("poi_id"))
       // Bounded top-k aggregate instead of a window rank: partial
       // aggregation keeps ≤ k candidates per point map-side, so the shuffle
       // carries O(k·points) rows, not every candidate (TopKAgg scaladoc).
       // The aggregator also dedups poi ids (lon-wrap can alias disk cells).
       // localCheckpoint: each round materializes once — without it the
       // lazily-chained rounds re-execute every prior round's join whenever
-      // the final union materializes (memory + time blow-up).
-      val grouped = track(cand.groupBy("pt_id")
+      // the final union materializes (memory + time blow-up). lon/lat/cell
+      // ride through the aggregation (identical on every row of a point)
+      // so the surviving points need no join back to `active`.
+      val grouped = track(cand.unionByName(keepAlive).groupBy("pt_id")
         .agg(topkUdaf(col("dist_m"), col("poi_id")).as("topk"),
-          first(col("lat")).as("_lat"))
+          first(col("lon")).as("lon"), first(col("lat")).as("lat"),
+          first(col("cell")).as("cell"))
         .localCheckpoint())
       // Retirement guarantee: a POI outside the probed disk is > `radius`
       // cells away (wrapped-Chebyshev), i.e. EITHER
@@ -287,10 +306,11 @@ object SpatialJoin {
       val degToRad = math.Pi / 180.0
       val stats = grouped
         .withColumn("n", size(col("topk")).cast("long"))
-        // topk is non-empty by construction — groups exist only for points
-        // that matched ≥1 candidate in the inner probe join above — so the
-        // -1 (last-element) access can't hit ANSI's empty-array error
-        .withColumn("dk", element_at(col("topk"), -1).getField("dist"))
+        // a keep-alive-only group has an EMPTY topk — guard the -1 access
+        // (ANSI mode throws on out-of-bounds) behind the size check;
+        // CaseWhen evaluates branches lazily per row
+        .withColumn("dk",
+          when(col("n") >= 1L, element_at(col("topk"), -1).getField("dist")))
         .withColumn("safe", {
           if (coversAll) col("n") >= 1L
           else {
@@ -298,17 +318,19 @@ object SpatialJoin {
             val delta = math.min(90.0, radius * cellWidthDeg) * degToRad
             val boundX =
               if (lonCovered) lit(Double.MaxValue)
-              else lit(6371000.0) * asin(cos(abs(col("_lat")) * lit(degToRad)) * lit(math.sin(delta)))
+              else lit(6371000.0) * asin(cos(abs(col("lat")) * lit(degToRad)) * lit(math.sin(delta)))
             (col("n") === k.toLong) && col("dk") <= least(boundY, boundX)
           }
         })
-      val safeIds = stats.where(col("safe")).select("pt_id")
       val done = stats.where(col("safe"))
         .select(col("pt_id"), posexplode(col("topk")).as(Seq("pos", "c")))
         .select(col("pt_id"), col("c.id").as("poi_id"), col("c.dist").as("dist_m"),
           (col("pos") + 1).cast("int").as("rank"))
       results = if (results == null) done else results.unionByName(done)
-      active = track(active.join(safeIds, Seq("pt_id"), "left_anti").localCheckpoint())
+      // unresolved points straight off the round's checkpoint — no
+      // anti-join, no second materialization (the filter re-reads cached
+      // blocks; lineage depth stays 1)
+      active = stats.where(!col("safe")).select("pt_id", "lon", "lat", "cell")
       activeCount = active.count()
       if (sys.env.contains("GRAFT_KNN_VERBOSE"))
         println(s"[knn] radius=$radius active=$activeCount tookMs=${(System.nanoTime() - tRound) / 1000000}")

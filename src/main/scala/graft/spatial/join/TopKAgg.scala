@@ -19,7 +19,16 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final case class KnnCand(dist: Double, id: Long)
 
-class TopKAgg(k: Int) extends Aggregator[KnnCand, Seq[KnnCand], Seq[KnnCand]] {
+/** Nullable input view (round-6): the kNN loop now unions one synthetic
+  * keep-alive row per active point into the candidate set (null dist/id),
+  * so points whose probed disk matched nothing still form a group — which
+  * lets the next-active set derive from the round's ONE checkpointed
+  * aggregate instead of paying an anti-join + a second checkpoint per
+  * round. `reduce` skips null candidates, so the aggregate's output is
+  * unchanged for every real candidate stream. */
+final case class KnnCandIn(dist: java.lang.Double, id: java.lang.Long)
+
+class TopKAgg(k: Int) extends Aggregator[KnnCandIn, Seq[KnnCand], Seq[KnnCand]] {
   // fail on the driver at construction, not as a per-row NoSuchElementException
   // (buf.last on empty) deep inside executor-side shuffle tasks
   require(k >= 1, s"k must be >= 1, got $k")
@@ -52,7 +61,9 @@ class TopKAgg(k: Int) extends Aggregator[KnnCand, Seq[KnnCand], Seq[KnnCand]] {
     }
   }
 
-  override def reduce(buf: Seq[KnnCand], c: KnnCand): Seq[KnnCand] = insert(buf, c)
+  override def reduce(buf: Seq[KnnCand], c: KnnCandIn): Seq[KnnCand] =
+    if (c == null || c.dist == null || c.id == null) buf // keep-alive / unmatched probe
+    else insert(buf, KnnCand(c.dist, c.id))
 
   override def merge(a: Seq[KnnCand], b: Seq[KnnCand]): Seq[KnnCand] =
     b.foldLeft(a)(insert)

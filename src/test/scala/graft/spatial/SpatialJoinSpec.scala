@@ -5,7 +5,7 @@ import graft.fixtures.OsmWorld
 import graft.osmpbf.source.OsmPbf
 import graft.spatial.cell.GeomEval
 import graft.spatial.geom.Assembly
-import graft.spatial.join.{KnnCand, SpatialJoin, TopKAgg}
+import graft.spatial.join.{KnnCand, KnnCandIn, SpatialJoin, TopKAgg}
 import graft.tiles.{Images, Tiles}
 
 import org.apache.spark.sql.DataFrame
@@ -94,9 +94,13 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestBase {
     // used to prepend a NaN candidate at rank 1 — the window oracle sorts
     // NaN last
     val agg = new TopKAgg(2)
-    val buf = Seq(KnnCand(Double.NaN, 1L), KnnCand(5.0, 2L), KnnCand(7.0, 3L))
+    val buf = Seq(KnnCandIn(Double.NaN, 1L), KnnCandIn(5.0, 2L), KnnCandIn(7.0, 3L))
       .foldLeft(agg.zero)(agg.reduce)
     assert(buf.map(_.id) === Seq(2L, 3L), s"NaN outranked real distances: $buf")
+    // round-6: null candidates (the loop's keep-alive rows / unmatched
+    // left probes) are skipped, never inserted
+    assert(agg.reduce(buf, KnnCandIn(null, null)) === buf)
+    assert(agg.reduce(agg.zero, KnnCandIn(null, null)) === agg.zero)
     assert(agg.merge(Seq(KnnCand(Double.NaN, 9L)), Seq(KnnCand(1.0, 2L)))
       .head.id === 2L)
     intercept[IllegalArgumentException](new TopKAgg(0))
