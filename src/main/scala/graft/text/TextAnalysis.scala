@@ -34,13 +34,17 @@ object TextAnalysis {
   private def countLit(text: Column, sub: String): Column =
     ((length(text) - length(replaceLit(text, sub))) / lit(sub.length)).cast("long")
 
-  // round-6: plain StringReplace, not regexp_replace(Pattern.quote(sub)) —
-  // identical output for a literal needle (and identical to the DuckDB
-  // oracle's replace()), but a memchr-style scan instead of spinning up
-  // the regex engine once per needle per row (langId + quality run ~25 of
-  // these per document)
+  // round-6 note: swapping this for plain StringReplace was TRIED and
+  // reverted. Output is identical for a literal needle, and in theory the
+  // regex engine per needle per row is pure overhead — but a same-window
+  // A/B of the bench query phase measured d9 (whose pushed-down filter
+  // inlines ~90 of these) at 1.62 s with regexp_replace vs 2.91 s with
+  // StringReplace on its cold first run, with warm runs and d2/d3
+  // identical under both. The cost difference is in the one-time
+  // codegen/compile of the giant inlined tree, not per-row work — keep
+  // the variant the measurement favors.
   private def replaceLit(text: Column, sub: String): Column =
-    replace(text, lit(sub), lit(""))
+    regexp_replace(text, java.util.regex.Pattern.quote(sub), "")
 
   /** Heuristic quality features + score (length, punctuation density,
     * stopword ratio, mean word length). Score ∈ [0,1]; higher = better. */
