@@ -27,9 +27,25 @@ object ImageTable {
     fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"""{"path":"${s.getPath.toString}","size":${s.getLen}}""")
+      .map(s => s"""{"path":"${jsonEscape(s.getPath.toString)}","size":${s.getLen}}""")
       .toSeq
   }
+
+  // JSON string escaping for manifest paths (same rule the schema string
+  // already used): a table rooted under a directory containing `"` or `\`
+  // would otherwise corrupt its manifest entries. Escape on write,
+  // unescape on read; append's parent-manifest copy re-embeds the RAW
+  // escaped entries, so only manifest() unescapes.
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def jsonUnescape(s: String): String =
+    """\\(.)""".r.replaceAllIn(s,
+      m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+
+  // one escaped-JSON-string char: anything but quote/backslash, or an
+  // escape pair — shared by the manifest reader and append's parent copy
+  private val JsonStrChar = """(?:[^"\\]|\\.)"""
 
   private def commitMetadata(root: String, snapshotId: Long, parent: Option[Long],
       schema: org.apache.spark.sql.types.StructType, entries: Seq[String],
@@ -80,7 +96,8 @@ object ImageTable {
   def manifest(spark: SparkSession, root: String, snapshotId: Long): Seq[String] = {
     val meta = graft.util.HadoopIO.readString(
       s"$root/metadata/v$snapshotId.metadata.json", spark.sessionState.newHadoopConf())
-    """"path":"([^"]+)"""".r.findAllMatchIn(meta).map(_.group(1)).toSeq
+    (""""path":"(""" + JsonStrChar + """+)"""").r
+      .findAllMatchIn(meta).map(m => jsonUnescape(m.group(1))).toSeq
   }
 
   def load(spark: SparkSession, root: String): DataFrame =
@@ -140,7 +157,7 @@ object ImageTable {
         val snapshotId = parent + 1
         val parentMeta = graft.util.HadoopIO.readString(
           s"$root/metadata/v$parent.metadata.json", conf)
-        val parentManifest = """\{"path":"[^"]+","size":\d+\}""".r
+        val parentManifest = ("""\{"path":"""" + JsonStrChar + """+","size":\d+\}""").r
           .findAllIn(parentMeta).toSeq
         assertStillHeld()
         commitMetadata(root, snapshotId, Some(parent), df.schema,

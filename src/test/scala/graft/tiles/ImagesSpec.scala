@@ -93,6 +93,28 @@ class ImagesSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() === 0 && none.schema === inc.schema)
   }
 
+  test("manifest survives a table root containing a JSON-special character") {
+    // a quote in the directory name would corrupt un-escaped manifest
+    // entries ({"path":"...".."}); escape-on-write / unescape-on-read must
+    // round-trip write, append, time travel and incremental read
+    val root = s"""$tmpDir/image"table"quoted"""
+    val base = Images.synthesize(spark, 30, centers, 2)
+    ImageTable.write(base, root, snapshotId = 1L)
+    val extra = Images.synthesize(spark, 40, centers, 2)
+      .where(substring(col("image_id"), 5, 9).cast("long") >= 30)
+    val snap2 = ImageTable.append(extra, root)
+    assert(snap2 === 2L)
+    assert(ImageTable.load(spark, root).count() === 40)
+    assert(ImageTable.loadSnapshot(spark, root, 1L).count() === 30)
+    assert(ImageTable.readIncremental(spark, root, 1L, 2L).count() === 10)
+    // manifest() returns real, unescaped FS paths (readable by parquet)
+    val m2 = ImageTable.manifest(spark, root, snap2)
+    assert(m2.nonEmpty)
+    m2.foreach { p =>
+      assert(p.contains("""image"table"quoted""") && !p.contains("\\\""), p)
+    }
+  }
+
   test("concurrent appends serialize: both commit, no rows lost") {
     val root = s"$tmpDir/imageTable5"
     ImageTable.write(Images.synthesize(spark, 10, centers, 2), root, snapshotId = 1L)
