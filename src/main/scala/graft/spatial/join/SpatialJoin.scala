@@ -258,8 +258,32 @@ object SpatialJoin {
       }
     while (radius <= maxRadius && activeCount > 0) {
       val tRound = System.nanoTime()
-      val cand = active
-        .withColumn("probe", explode(array_distinct(diskUdf(col("cell"), lit(radius)))))
+      // Codegen disk (round-6, guide §4): the probed disk is the full
+      // Chebyshev square [-radius, radius]², so explode two CONSTANT offset
+      // ranges (sequence(lit,lit) constant-folds to an array literal — the
+      // Generate loops over it with zero per-row allocation) and rebuild the
+      // neighbor id with the CellMath.pack bit layout inline: y clamps at
+      // the poles (filter, placed between the explodes so pole-clamped rows
+      // never pay the second explode), x wraps (pmod). Identical probe set
+      // to the old per-row disk UDF, which only differs when 2·radius+1 > n
+      // (lon wrap aliases cells and the UDF's array_distinct collapsed
+      // them) — that degenerate grid keeps the UDF path.
+      val n = 1 << res
+      val probed =
+        if (2 * radius + 1 <= n) active
+          .withColumn("_dy", explode(sequence(lit(-radius), lit(radius))))
+          .withColumn("_py", col("cell").bitwiseAND(lit(0x1FFFFFFFL)) + col("_dy"))
+          .where(col("_py") >= 0 && col("_py") < n)
+          .withColumn("_dx", explode(sequence(lit(-radius), lit(radius))))
+          .withColumn("probe", lit(res.toLong << 58)
+            .bitwiseOR(shiftleft(pmod(
+              shiftrightunsigned(col("cell"), 29).bitwiseAND(lit(0x1FFFFFFFL)) + col("_dx"),
+              lit(n.toLong)), 29))
+            .bitwiseOR(col("_py")))
+          .drop("_dy", "_py", "_dx")
+        else active
+          .withColumn("probe", explode(array_distinct(diskUdf(col("cell"), lit(radius)))))
+      val cand = probed
         .join(poiCells.withColumnRenamed("cell", "probe"), Seq("probe"))
         .withColumn("dist_m", F.haversine_m(col("lon"), col("lat"), col("poi_lon"), col("poi_lat")))
         .select(col("pt_id"), col("lon"), col("lat"), col("cell"),
